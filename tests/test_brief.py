@@ -1,0 +1,71 @@
+import numpy as np
+import jax.numpy as jnp
+
+from tinyslam_tpu.ops.brief import BRIEF_PATTERN, brief_descriptors
+from tests.golden import brief_naive
+
+
+def test_pattern_properties():
+    assert BRIEF_PATTERN.shape == (256, 2, 2)
+    assert np.abs(BRIEF_PATTERN).max() <= 13
+    # No degenerate pairs.
+    assert not np.any(np.all(BRIEF_PATTERN[:, 0] == BRIEF_PATTERN[:, 1], axis=-1))
+    # Deterministic across imports.
+    from tinyslam_tpu.ops.brief import _make_pattern
+
+    np.testing.assert_array_equal(BRIEF_PATTERN, _make_pattern())
+
+
+def test_brief_matches_golden():
+    rng = np.random.default_rng(3)
+    img = rng.random((64, 80)).astype(np.float32)
+    n = 12
+    xy = np.stack(
+        [rng.integers(20, 60, n), rng.integers(20, 44, n)], axis=-1
+    ).astype(np.float32)
+    angle = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[-2:] = False
+    got = np.asarray(
+        brief_descriptors(jnp.asarray(img), jnp.asarray(xy), jnp.asarray(angle), jnp.asarray(valid))
+    )
+    want = brief_naive(img, xy, angle, valid)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_brief_invalid_slots_zero():
+    img = jnp.zeros((32, 32)) + 0.5
+    xy = jnp.asarray([[16.0, 16.0]])
+    d = brief_descriptors(img, xy, jnp.asarray([0.0]), jnp.asarray([False]))
+    assert np.asarray(d).sum() == 0
+
+
+def test_brief_rotation_steers_descriptor():
+    """Rotating the image content and the feature angle together should keep
+    the descriptor approximately invariant (the point of steered BRIEF)."""
+    rng = np.random.default_rng(4)
+    # Smooth random image (blur noise) so nearest-sampling artifacts are small.
+    from tinyslam_tpu.ops.image import gaussian_blur
+
+    base = rng.random((96, 96)).astype(np.float32)
+    img = np.asarray(gaussian_blur(jnp.asarray(base), 3.0))
+    c = 48.0
+    d0 = np.asarray(
+        brief_descriptors(
+            jnp.asarray(img), jnp.asarray([[c, c]]), jnp.asarray([0.0]), jnp.asarray([True])
+        )
+    )
+    # Rotate image by 90 degrees around center: new[y, x] = old[x, H-1-y]
+    img90 = np.rot90(img, k=-1).copy()  # clockwise: point (x,y) -> (H-1-y, x)
+    d90 = np.asarray(
+        brief_descriptors(
+            jnp.asarray(img90),
+            jnp.asarray([[95.0 - c, c]]),
+            jnp.asarray([np.float32(np.pi / 2)]),
+            jnp.asarray([True]),
+        )
+    )
+    ham = sum(bin(int(a) ^ int(b)).count("1") for a, b in zip(d0[0], d90[0]))
+    # Perfect invariance is impossible with nearest sampling; require strong
+    # agreement (random descriptors differ by ~128 bits).
+    assert ham < 40, f"hamming {ham}"

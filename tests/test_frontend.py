@@ -1,0 +1,70 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tinyslam_tpu.config import FrontendConfig
+from tinyslam_tpu.frontend import OrbFrontend
+from tests.golden import dot_grid
+
+
+def _cfg(**kw):
+    base = dict(height=96, width=128, num_levels=3, features_per_level=64,
+                threshold=0.1, use_pallas=False)
+    base.update(kw)
+    return FrontendConfig(**base)
+
+
+def test_extract_shapes_and_counts():
+    cfg = _cfg()
+    fe = OrbFrontend(cfg)
+    img = jnp.asarray(dot_grid(96, 128, spacing=12))
+    feats = fe.extract(img)
+    n = cfg.max_features
+    assert feats.xy.shape == (n, 2)
+    assert feats.desc.shape == (n, 8)
+    assert int(feats.count) > 0
+
+
+def test_extract_deterministic():
+    fe = OrbFrontend(_cfg())
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.random((96, 128)).astype(np.float32))
+    f1 = fe.extract(img)
+    f2 = fe.extract(img)
+    for a, b in zip(jax.tree.leaves(f1), jax.tree.leaves(f2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dot_grid_corners_on_grid():
+    cfg = _cfg(num_levels=1, nms=True)
+    fe = OrbFrontend(cfg)
+    img = jnp.asarray(dot_grid(96, 128, spacing=12, offset=24))
+    feats = fe.extract(img)
+    xy = np.asarray(feats.xy)[np.asarray(feats.valid)]
+    assert len(xy) > 10
+    # Dots are centered at offset + k*spacing; detections within +/-2 px.
+    offs = np.minimum((xy - 24) % 12, 12 - ((xy - 24) % 12))
+    assert np.all(offs <= 2.0)
+
+
+def test_rgb_input_and_threshold_override():
+    cfg = _cfg()
+    fe = OrbFrontend(cfg)
+    rng = np.random.default_rng(10)
+    rgb = jnp.asarray(rng.random((96, 128, 3)).astype(np.float32))
+    f_low = fe.extract(rgb, threshold=0.02)
+    f_high = fe.extract(rgb, threshold=0.4)
+    assert int(f_low.count) >= int(f_high.count)
+
+
+def test_levels_report_level0_coords():
+    cfg = _cfg(num_levels=3)
+    fe = OrbFrontend(cfg)
+    img = jnp.asarray(dot_grid(96, 128, spacing=16, offset=24))
+    feats = fe.extract(img)
+    lv = np.asarray(feats.level)
+    v = np.asarray(feats.valid)
+    xy = np.asarray(feats.xy)
+    # At least level 0 fires; all valid coords inside the level-0 frame.
+    assert (lv[v] == 0).any()
+    assert xy[v, 0].max() < 128 and xy[v, 1].max() < 96

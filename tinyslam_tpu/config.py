@@ -1,0 +1,160 @@
+"""Frozen configuration tree for the whole framework.
+
+The reference exposes a single 4-field config (reference src/orb.rs:40-45:
+image_size, max_features, hierarchy_depth, initial_threshold) plus one runtime
+knob (set_threshold, orb.rs:585-589).  Here every subsystem gets a frozen
+dataclass; the tree is hashable (usable as a jit static argument) and
+round-trips to JSON.  The reference's one good config idea is kept: static
+capacities chosen up front so every XLA shape is static (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+def _asdict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _asdict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, tuple):
+        return list(obj)
+    return obj
+
+
+def _fromdict(cls: type, d: dict) -> Any:
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
+        ):
+            kwargs[f.name] = _fromdict(f.type, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+class _JsonMixin:
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str):
+        return _fromdict(cls, json.loads(s))
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class FrontendConfig(_JsonMixin):
+    """ORB front-end configuration.
+
+    Mirrors the reference's OrbConfig (orb.rs:40-45) with the quirks fixed and
+    TPU-native additions (per-level feature caps for static shapes, NMS).
+    """
+
+    height: int = 480
+    width: int = 640
+    num_levels: int = 4            # reference: hierarchy_depth, capped at 10 (orb.rs:67)
+    threshold: float = 0.06        # FAST threshold on [0,1] intensities (orb.rs:44 initial_threshold)
+    features_per_level: int = 512  # static top-k capacity per pyramid level
+    streak_length: int = 9         # FAST-N contiguous-arc length; 9 = canonical ORB,
+                                   # 12 = the reference's (misses 90-degree corners)
+    border: int = 20               # >= ceil(13*sqrt(2)): rotated BRIEF reach.  The
+                                   # reference uses 16 (fast.wgsl:77) which lets BRIEF
+                                   # read out of bounds for |angle| near 45 deg — fixed here.
+    blur_sigma: float = 2.0        # 7-tap Gaussian, as in canonical ORB
+    nms: bool = True               # 3x3 non-max suppression (reference has none)
+    use_pallas: bool = True        # Pallas fused score kernel vs pure-XLA path
+    interpolate_descriptors: bool = False  # nearest sampling, as reference brief.wgsl:57-60
+
+    @property
+    def max_features(self) -> int:
+        return self.features_per_level * self.num_levels
+
+
+@dataclass(frozen=True)
+class MatcherConfig(_JsonMixin):
+    """Hamming descriptor matcher (MXU int8 dot formulation)."""
+
+    max_distance: int = 64         # max Hamming distance (of 256) for a valid match
+    ratio: float = 0.9             # Lowe ratio test threshold (best/second-best)
+    cross_check: bool = True       # mutual nearest neighbour
+
+
+@dataclass(frozen=True)
+class RansacConfig(_JsonMixin):
+    """Batched-hypothesis RANSAC for two-view geometry."""
+
+    num_hypotheses: int = 512      # all hypotheses solved in one batched SVD
+    sample_size: int = 8           # 8-point essential solver
+    inlier_threshold: float = 2e-3 # Sampson distance in normalized image coords
+    refine_iters: int = 3          # IRLS refinement rounds on inliers
+
+
+@dataclass(frozen=True)
+class BAConfig(_JsonMixin):
+    """Schur-complement Levenberg–Marquardt local bundle adjustment."""
+
+    max_keyframes: int = 10        # sliding window (BASELINE config 4)
+    max_landmarks: int = 2048      # static landmark-block capacity
+    max_iters: int = 10            # LM outer iterations
+    damping_init: float = 1e-3
+    damping_up: float = 10.0
+    damping_down: float = 0.5
+    huber_delta: float = 5.0       # pixels, robust loss
+    cg_iters: int = 0              # 0 = dense Cholesky on the reduced camera system
+
+
+@dataclass(frozen=True)
+class VOConfig(_JsonMixin):
+    """Frame-to-frame visual odometry loop."""
+
+    max_map_points: int = 8192     # fixed-capacity landmark store
+    pnp_iters: int = 8             # Gauss-Newton iterations for pose tracking
+    pnp_inlier_px: float = 4.0     # reprojection inlier threshold (pixels)
+    keyframe_min_inliers: int = 60     # below -> new keyframe
+    keyframe_max_interval: int = 20    # frames
+    min_parallax_deg: float = 1.0      # triangulation parallax gate
+
+
+@dataclass(frozen=True)
+class PoseGraphConfig(_JsonMixin):
+    """Pose-graph optimization (loop closure back-end)."""
+
+    max_nodes: int = 256
+    max_edges: int = 1024
+    gn_iters: int = 20
+    loop_min_matches: int = 40     # descriptor matches for a loop candidate
+    loop_min_gap: int = 30         # keyframe index gap before closing loops
+
+
+@dataclass(frozen=True)
+class MeshConfig(_JsonMixin):
+    """Device-mesh layout for multi-chip / multi-host runs.
+
+    Axes: ``frame`` = data parallelism over frames/hypotheses (front-end),
+    ``landmark`` = landmark-block sharding for distributed BA (psum over ICI).
+    """
+
+    frame_axis: int = 1
+    landmark_axis: int = 1
+
+
+@dataclass(frozen=True)
+class SlamConfig(_JsonMixin):
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    vo: VOConfig = field(default_factory=VOConfig)
+    pose_graph: PoseGraphConfig = field(default_factory=PoseGraphConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)

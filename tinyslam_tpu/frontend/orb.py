@@ -1,0 +1,94 @@
+"""The ORB front-end pipeline: frame in, oriented-FAST + rBRIEF features out.
+
+TPU-native equivalent of the reference's per-frame hot path
+(reference src/orb.rs:469-557 `extract_corners`): grayscale -> image pyramid
+(downsample + correct separable blur) -> FAST score maps per octave -> top-k
+compaction -> steered BRIEF.  Where the reference records render/compute
+passes into a command encoder and round-trips the CPU every frame
+(orb.rs:541-547), here the whole pipeline is ONE jitted pure function over
+static shapes; frames stay device-resident and only the compact Features
+pytree ever needs to reach the host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tinyslam_tpu.config import FrontendConfig
+from tinyslam_tpu.ops import (
+    brief_descriptors,
+    build_pyramid,
+    fast_score_map,
+    rgb_to_gray,
+    select_topk,
+)
+from tinyslam_tpu.ops.fast import nms3x3
+from tinyslam_tpu.types import Features
+
+
+def extract_features(
+    image: jax.Array,
+    threshold: jax.Array | float,
+    cfg: FrontendConfig,
+) -> Features:
+    """Pure function: (H, W[, 3]) image -> Features with capacity
+    cfg.features_per_level * cfg.num_levels.
+
+    `threshold` is a traced argument — the reference's one runtime knob
+    (orb.rs:585-589 set_threshold) without retracing.
+    """
+    gray = rgb_to_gray(image) if image.ndim == 3 else image.astype(jnp.float32)
+    levels, blurred = build_pyramid(gray, cfg.num_levels, cfg.blur_sigma)
+
+    parts: list[Features] = []
+    for lvl in range(cfg.num_levels):
+        with jax.named_scope(f"orb_level{lvl}"):
+            score, m10, m01 = fast_score_map(
+                levels[lvl], threshold, cfg.border, cfg.streak_length
+            )
+            if cfg.nms:
+                score = nms3x3(score)
+            sel = select_topk(score, m10, m01, cfg.features_per_level)
+            desc = brief_descriptors(
+                blurred[lvl],
+                sel["xy"],
+                sel["angle"],
+                sel["valid"],
+                interpolate=cfg.interpolate_descriptors,
+            )
+            scale = jnp.float32(1 << lvl)
+            parts.append(
+                Features(
+                    xy=sel["xy"] * scale,  # level-0 pixel coords
+                    level=jnp.full((cfg.features_per_level,), lvl, jnp.int32),
+                    angle=sel["angle"],
+                    score=sel["score"],
+                    desc=desc,
+                    valid=sel["valid"],
+                )
+            )
+    return Features.concatenate(parts)
+
+
+class OrbFrontend:
+    """Config-bound, jit-compiled front-end.
+
+    Usage::
+
+        fe = OrbFrontend(FrontendConfig(height=480, width=640))
+        feats = fe.extract(frame)            # compiled once per image shape
+        feats = fe.extract(frame, threshold=0.08)
+    """
+
+    def __init__(self, cfg: FrontendConfig):
+        self.cfg = cfg
+        self._extract = jax.jit(
+            functools.partial(extract_features, cfg=cfg)
+        )
+
+    def extract(self, image: jax.Array, threshold: float | None = None) -> Features:
+        t = self.cfg.threshold if threshold is None else threshold
+        return self._extract(image, jnp.float32(t))
