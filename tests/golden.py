@@ -22,27 +22,46 @@ def streak16_naive(x: int, n: int = 12) -> bool:
     return False
 
 
+def patch_moments_naive(img: np.ndarray, radius: int = 7):
+    """Golden separable patch moments, mirroring ops.fast.patch_moments'
+    two-stage edge padding exactly (pad, box-sum one axis; pad the result,
+    ramp the other)."""
+    h, w = img.shape
+    r = radius
+    p = np.pad(img, r, mode="edge")
+    box_y = np.zeros((h, w), np.float64)
+    box_x = np.zeros((h, w), np.float64)
+    for i in range(2 * r + 1):
+        box_y += p[i : i + h, r : r + w]
+        box_x += p[r : r + h, i : i + w]
+    py = np.pad(box_y, ((0, 0), (r, r)), mode="edge")
+    px = np.pad(box_x, ((r, r), (0, 0)), mode="edge")
+    m10 = np.zeros((h, w), np.float64)
+    m01 = np.zeros((h, w), np.float64)
+    for i in range(2 * r + 1):
+        m10 += (i - r) * py[:, i : i + w]
+        m01 += (i - r) * px[i : i + h, :]
+    return m10.astype(np.float32), m01.astype(np.float32)
+
+
 def fast_score_naive(img: np.ndarray, t: float, border: int, streak: int = 9):
     """Golden FAST-16: returns (score, m10, m01) maps.
 
     Matches ops.fast.fast_score_map semantics: edge-padded ring reads,
     margin score = max(sum(d - t | d > t side), sum(-d - t | dark side))
-    gated on a >=12 circular streak, zero outside the border.
+    gated on a >=streak circular run, zero outside the border; orientation
+    moments over the 15x15 patch.
     """
     h, w = img.shape
     p = np.pad(img, 3, mode="edge")
     score = np.zeros((h, w), np.float32)
-    m10 = np.zeros((h, w), np.float32)
-    m01 = np.zeros((h, w), np.float32)
     for y in range(h):
         for x in range(w):
+            if not (border <= y < h - border and border <= x < w - border):
+                continue
             ring = np.array(
                 [p[3 + y + dy, 3 + x + dx] for dx, dy in RING16], np.float32
             )
-            m10[y, x] = np.sum(ring * np.array([d[0] for d in RING16]))
-            m01[y, x] = np.sum(ring * np.array([d[1] for d in RING16]))
-            if not (border <= y < h - border and border <= x < w - border):
-                continue
             d = ring - img[y, x]
             over = int(sum((1 << i) for i in range(16) if d[i] > t))
             under = int(sum((1 << i) for i in range(16) if d[i] < -t))
@@ -50,6 +69,7 @@ def fast_score_naive(img: np.ndarray, t: float, border: int, streak: int = 9):
                 so = float(np.sum(np.maximum(d - t, 0.0)))
                 su = float(np.sum(np.maximum(-d - t, 0.0)))
                 score[y, x] = max(so, su)
+    m10, m01 = patch_moments_naive(img)
     return score, m10, m01
 
 

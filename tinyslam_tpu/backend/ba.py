@@ -1,0 +1,190 @@
+"""Schur-complement Levenberg-Marquardt bundle adjustment (BASELINE config 4).
+
+The sparse BA normal equations
+
+    [ U   W ] [dc]   [ gc ]
+    [ W^T V ] [dp] = [ gp ]
+
+are solved by eliminating the landmark blocks V (block-diagonal, 3x3 each)
+with one vmapped closed-form inverse, reducing to the camera system
+
+    S dc = b,   S = U - W V^-1 W^T,   b = gc - W V^-1 gp
+
+S is (6K x 6K) dense (K <= ~16 keyframes) — one small Cholesky.  Everything
+else is einsums over the (L, K) grid: MXU work, no sparsity bookkeeping,
+no data-dependent shapes.  The L axis is the sharding axis for distributed
+BA: each shard computes partial (S, b), psum over ICI, identical solve on
+every device (parallel.dist_ba).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tinyslam_tpu.backend.residuals import reprojection_residuals
+from tinyslam_tpu.geometry.camera import PinholeCamera
+from tinyslam_tpu.geometry.se3 import se3_compose, se3_exp
+
+
+class BAState(NamedTuple):
+    R: jax.Array        # (K, 3, 3)
+    t: jax.Array        # (K, 3)
+    X: jax.Array        # (L, 3)
+    lam: jax.Array      # () LM damping
+    cost: jax.Array     # () current robust cost
+    num_ok: jax.Array   # () active (in-front, visible) residual count
+
+
+def _robust_weights(r: jax.Array, ok: jax.Array, huber: float):
+    """Huber IRLS weights per observation. r (L,K,2) -> w (L,K)."""
+    err = jnp.linalg.norm(r, axis=-1)
+    w = jnp.where(err > huber, huber / jnp.maximum(err, 1e-9), 1.0)
+    return w * ok.astype(r.dtype), err
+
+
+def _robust_cost(err: jax.Array, ok: jax.Array, huber: float):
+    e = jnp.where(ok, err, 0.0)
+    quad = 0.5 * e * e
+    lin = huber * (e - 0.5 * huber)
+    return jnp.sum(jnp.where(e > huber, lin, quad) * ok.astype(err.dtype))
+
+
+def ba_normal_blocks(cam, R, t, X, z, mask, huber):
+    """Build the BA normal-equation blocks.  Separated out so distributed BA
+    can run it per landmark shard and psum the pose-side outputs."""
+    r, Jc, Jp, ok = reprojection_residuals(cam, R, t, X, z, mask)
+    w, err = _robust_weights(r, ok, huber)
+    wx = w[..., None]                                   # (L, K, 1)
+    # Pose-side (reduce over landmarks -> psum-able).
+    U = jnp.einsum("lkia,lkib->kab", Jc * wx[..., None], Jc)     # (K, 6, 6)
+    gc = -jnp.einsum("lkia,lki->ka", Jc * wx[..., None], r)      # (K, 6)
+    # Landmark-side (stays sharded).
+    V = jnp.einsum("lkia,lkib->lab", Jp * wx[..., None], Jp)     # (L, 3, 3)
+    gp = -jnp.einsum("lkia,lki->la", Jp * wx[..., None], r)      # (L, 3)
+    W = jnp.einsum("lkia,lkib->lkab", Jc * wx[..., None], Jp)    # (L, K, 6, 3)
+    cost = _robust_cost(err, ok, huber)
+    num_ok = jnp.sum(ok.astype(jnp.int32))
+    return U, gc, V, gp, W, cost, num_ok
+
+
+def schur_reduce(U, gc, V, gp, W, lam, pose_free):
+    """Eliminate landmarks; returns (S (6K,6K), b (6K,), Vinv_damped)."""
+    K = U.shape[0]
+    # Marquardt damping lam * (diag + eps) on both block diagonals.
+    eyeK6 = jnp.eye(6, dtype=U.dtype)
+    eyeL3 = jnp.eye(3, dtype=V.dtype)
+    Ud = U + lam * (jax.vmap(jnp.diag)(jnp.einsum("kaa->ka", U)) + 1e-6 * eyeK6)
+    Vd = V + lam * (jax.vmap(jnp.diag)(jnp.einsum("laa->la", V)) + 1e-6 * eyeL3)
+    # Absolute damping floor: bounds the step of weakly-constrained
+    # landmarks (near-degenerate V blocks otherwise take ~1e8-sized steps
+    # that fling points behind the cameras).
+    Vd = Vd + 1e-3 * eyeL3
+    Vinv = jnp.linalg.inv(Vd)                           # (L, 3, 3)
+
+    T = jnp.einsum("lkab,lbc->lkac", W, Vinv)           # (L, K, 6, 3)
+    S_off = jnp.einsum("lkac,lmbc->kmab", T, W)         # (K, K, 6, 6)
+    S = -S_off
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(Ud)
+    b = gc - jnp.einsum("lkac,lc->ka", T, gp)           # (K, 6)
+
+    # Gauge fixing: project out rows/cols of fixed poses, identity on diag.
+    free = pose_free.astype(U.dtype)                    # (K,)
+    S = S * free[:, None, None, None] * free[None, :, None, None]
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+        (1.0 - free)[:, None, None] * jnp.eye(6, dtype=U.dtype)
+    )
+    b = b * free[:, None]
+
+    S_mat = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    b_vec = b.reshape(6 * K)
+    return S_mat, b_vec, Vinv
+
+
+def back_substitute(Vinv, W, gp, dc):
+    """Landmark updates from the camera solution: dp = Vinv (gp - W^T dc)."""
+    rhs = gp - jnp.einsum("lkab,ka->lb", W, dc)         # (L, 3)
+    return jnp.einsum("lab,lb->la", Vinv, rhs)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def bundle_adjust(
+    cam: PinholeCamera,
+    R: jax.Array,         # (K, 3, 3)
+    t: jax.Array,         # (K, 3)
+    X: jax.Array,         # (L, 3)
+    z: jax.Array,         # (L, K, 2)
+    mask: jax.Array,      # (L, K) bool visibility
+    pose_free: jax.Array, # (K,) bool — False = gauge-fixed pose
+    point_valid: jax.Array | None = None,  # (L,) bool
+    max_iters: int = 10,
+    huber: float = 5.0,
+    lam0: float = 1e-3,
+    lam_up: float = 10.0,
+    lam_down: float = 0.5,
+) -> dict:
+    """Levenberg-Marquardt BA with accept/reject damping control, fixed
+    iteration count (jit-safe: rejected steps are no-ops via jnp.where).
+
+    Returns dict with R, t, X, cost, initial_cost, lam.
+    """
+    if point_valid is not None:
+        mask = mask & point_valid[:, None]
+
+    def lm_step(state: BAState, _):
+        U, gc, V, gp, W, cost, num_ok = ba_normal_blocks(
+            cam, state.R, state.t, state.X, z, mask, huber
+        )
+        S, b, Vinv = schur_reduce(U, gc, V, gp, W, state.lam, pose_free)
+        K = U.shape[0]
+        # Cholesky with fallback: if S is not PD (should not happen with
+        # damping), the solve yields nan and the step is rejected below.
+        L_chol = jnp.linalg.cholesky(S + 1e-8 * jnp.eye(6 * K, dtype=S.dtype))
+        dc = jax.scipy.linalg.cho_solve((L_chol, True), b).reshape(K, 6)
+        dp = back_substitute(Vinv, W, gp, dc)
+
+        dR, dt = se3_exp(dc)                            # (K, 3, 3), (K, 3)
+        R_new, t_new = se3_compose(dR, dt, state.R, state.t)
+        X_new = state.X + dp
+
+        _, _, _, _, _, cost_new, num_ok_new = ba_normal_blocks(
+            cam, R_new, t_new, X_new, z, mask, huber
+        )
+        # A masked cost can only be compared when the active-residual sets
+        # are comparable: a divergent step that pushes points behind the
+        # cameras empties the mask and scores a spurious cost of 0.
+        accept = (
+            jnp.isfinite(cost_new)
+            & (cost_new < cost)
+            & (num_ok_new >= (9 * state.num_ok) // 10)
+        )
+        accept &= jnp.all(jnp.isfinite(X_new)) & jnp.all(jnp.isfinite(t_new))
+        state_new = BAState(
+            R=jnp.where(accept, R_new, state.R),
+            t=jnp.where(accept, t_new, state.t),
+            X=jnp.where(accept, X_new, state.X),
+            lam=jnp.clip(
+                jnp.where(accept, state.lam * lam_down, state.lam * lam_up),
+                1e-9,
+                1e6,
+            ),
+            cost=jnp.where(accept, cost_new, cost),
+            num_ok=jnp.where(accept, num_ok_new, state.num_ok),
+        )
+        return state_new, cost
+
+    _, _, _, _, _, cost0, num_ok0 = ba_normal_blocks(cam, R, t, X, z, mask, huber)
+    init = BAState(R=R, t=t, X=X, lam=jnp.asarray(lam0, X.dtype), cost=cost0,
+                   num_ok=num_ok0)
+    final, costs = jax.lax.scan(lm_step, init, None, length=max_iters)
+    return {
+        "R": final.R,
+        "t": final.t,
+        "X": final.X,
+        "cost": final.cost,
+        "initial_cost": cost0,
+        "lam": final.lam,
+    }

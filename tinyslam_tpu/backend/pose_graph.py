@@ -1,0 +1,116 @@
+"""Pose-graph optimization (loop-closure back-end, BASELINE config 5).
+
+Nodes are keyframe poses (world->camera); edges carry measured relative
+transforms T_ij (T_j = T_ij o T_i) from odometry and loop closures, with a
+validity mask so the problem is fixed-shape.  Residual per edge:
+
+    r_e = log( T_ij_meas^-1 o T_j o T_i^-1 )  in se(3)
+
+Gauss-Newton with jacfwd edge Jacobians, block scatter-add assembly of the
+dense (6N x 6N) system, Cholesky solve, node 0 gauge-fixed.  N <= ~256
+keeps the dense solve cheap on the MXU; larger graphs shard edges and psum
+(the trajectory-growth analog of sequence parallelism, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tinyslam_tpu.geometry.se3 import (
+    se3_compose,
+    se3_exp,
+    se3_inverse,
+    se3_log,
+)
+
+
+def edge_residual(Ri, ti, Rj, tj, Rm, tm):
+    """r = log(Tm^-1 o T_j o T_i^-1) for one edge."""
+    Rii, tii = se3_inverse(Ri, ti)
+    Rrel, trel = se3_compose(Rj, tj, Rii, tii)
+    Rmi, tmi = se3_inverse(Rm, tm)
+    Re, te = se3_compose(Rmi, tmi, Rrel, trel)
+    return se3_log(Re, te)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph(
+    R: jax.Array,          # (N, 3, 3) node rotations (world->camera)
+    t: jax.Array,          # (N, 3)
+    edge_i: jax.Array,     # (E,) int32 source node
+    edge_j: jax.Array,     # (E,) int32 target node
+    edge_R: jax.Array,     # (E, 3, 3) measured relative rotation
+    edge_t: jax.Array,     # (E, 3)
+    edge_valid: jax.Array, # (E,) bool
+    edge_weight: jax.Array | None = None,  # (E,) relative information scale
+    node_valid: jax.Array | None = None,   # (N,) bool
+    iters: int = 20,
+    damping: float = 1e-6,
+) -> dict:
+    n = R.shape[0]
+    if edge_weight is None:
+        edge_weight = jnp.ones_like(edge_valid, jnp.float32)
+    if node_valid is None:
+        node_valid = jnp.ones((n,), bool)
+    w_e = edge_weight * edge_valid.astype(jnp.float32)
+    # Gauge: node 0 fixed; invalid nodes also held (their edges are invalid).
+    free = node_valid & (jnp.arange(n) != 0)
+
+    def gn_step(carry, _):
+        R_cur, t_cur = carry
+        Ri, ti = R_cur[edge_i], t_cur[edge_i]
+        Rj, tj = R_cur[edge_j], t_cur[edge_j]
+
+        def res_fn(xi_i, xi_j, Ri, ti, Rj, tj, Rm, tm):
+            dRi, dti = se3_exp(xi_i)
+            dRj, dtj = se3_exp(xi_j)
+            Ri2, ti2 = se3_compose(dRi, dti, Ri, ti)
+            Rj2, tj2 = se3_compose(dRj, dtj, Rj, tj)
+            return edge_residual(Ri2, ti2, Rj2, tj2, Rm, tm)
+
+        zero = jnp.zeros(6, R.dtype)
+        r = jax.vmap(res_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0))(
+            zero, zero, Ri, ti, Rj, tj, edge_R, edge_t
+        )                                              # (E, 6)
+        Ji = jax.vmap(
+            lambda a, b, c, d, e, f: jax.jacfwd(res_fn, argnums=0)(
+                zero, zero, a, b, c, d, e, f
+            )
+        )(Ri, ti, Rj, tj, edge_R, edge_t)              # (E, 6, 6)
+        Jj = jax.vmap(
+            lambda a, b, c, d, e, f: jax.jacfwd(res_fn, argnums=1)(
+                zero, zero, a, b, c, d, e, f
+            )
+        )(Ri, ti, Rj, tj, edge_R, edge_t)              # (E, 6, 6)
+
+        we = w_e[:, None, None]
+        H = jnp.zeros((n, 6, n, 6), R.dtype)
+        H = H.at[edge_i, :, edge_i, :].add(we * jnp.einsum("eab,eac->ebc", Ji, Ji))
+        H = H.at[edge_j, :, edge_j, :].add(we * jnp.einsum("eab,eac->ebc", Jj, Jj))
+        Hij = we * jnp.einsum("eab,eac->ebc", Ji, Jj)
+        H = H.at[edge_i, :, edge_j, :].add(Hij)
+        H = H.at[edge_j, :, edge_i, :].add(jnp.swapaxes(Hij, -1, -2))
+        g = jnp.zeros((n, 6), R.dtype)
+        g = g.at[edge_i].add(-jnp.einsum("eab,ea->eb", Ji * we, r))
+        g = g.at[edge_j].add(-jnp.einsum("eab,ea->eb", Jj * we, r))
+
+        fr = free.astype(R.dtype)
+        H = H * fr[:, None, None, None] * fr[None, None, :, None]
+        H = H.at[jnp.arange(n), :, jnp.arange(n), :].add(
+            (1.0 - fr)[:, None, None] * jnp.eye(6, dtype=R.dtype)
+        )
+        g = g * fr[:, None]
+
+        Hm = H.reshape(6 * n, 6 * n) + damping * jnp.eye(6 * n, dtype=R.dtype)
+        Lc = jnp.linalg.cholesky(Hm)
+        dx = jax.scipy.linalg.cho_solve((Lc, True), g.reshape(-1)).reshape(n, 6)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        dR, dt = se3_exp(dx)
+        R_new, t_new = se3_compose(dR, dt, R_cur, t_cur)
+        return (R_new, t_new), jnp.sum(w_e * jnp.sum(r * r, axis=-1))
+
+    (R_out, t_out), costs = jax.lax.scan(gn_step, (R, t), None, length=iters)
+    return {"R": R_out, "t": t_out, "costs": costs}

@@ -51,12 +51,20 @@ def look_at(camera_pos: np.ndarray, target: np.ndarray,
 
 def orbit_trajectory(num_frames: int, radius: float = 6.0,
                      height: float = 0.5, arc: float = 0.8,
-                     target=(0.0, 0.0, 0.0)) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Cameras on a horizontal arc, all looking at `target`."""
+                     target=(0.0, 0.0, 0.0),
+                     start: float | None = None,
+                     step: float | None = None) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Cameras on a horizontal arc, all looking at `target`.
+
+    Either give `arc` (total sweep, centered) or `step` + `start` (fixed
+    per-frame angle — sequence prefix independent of num_frames)."""
     poses = []
     tgt = np.asarray(target, np.float64)
     for i in range(num_frames):
-        a = (i / max(num_frames - 1, 1) - 0.5) * arc
+        if step is not None:
+            a = (start or 0.0) + i * step
+        else:
+            a = (i / max(num_frames - 1, 1) - 0.5) * arc
         pos = np.array([radius * np.sin(a), height, -radius * np.cos(a)]) + tgt
         poses.append(look_at(pos, tgt))
     return poses
@@ -103,3 +111,146 @@ def render_dots(uv: np.ndarray, visible: np.ndarray, width: int = 640,
 
 def normalized(cam: PinholeCamera, uv: np.ndarray) -> np.ndarray:
     return np.asarray(cam.normalize(jnp.asarray(uv)))
+
+
+def landmark_patches(rng: np.random.Generator, n: int, size: int = 9) -> np.ndarray:
+    """(n, size, size) unique high-contrast texture sprites, one per landmark,
+    so BRIEF descriptors are distinctive (identical dots would make every
+    descriptor match every other)."""
+    return (rng.random((n, size, size)) > 0.5).astype(np.float32) * 0.7 + 0.15
+
+
+def render_patches(uv: np.ndarray, visible: np.ndarray, patches: np.ndarray,
+                   width: int = 640, height: int = 480,
+                   bg: float = 0.45) -> np.ndarray:
+    """Render landmark sprites at their projections (no perspective warp —
+    approximately view-invariant for small patches; good enough for VO
+    ground-truth sequences)."""
+    img = np.full((height, width), bg, np.float32)
+    p = patches.shape[-1]
+    r = p // 2
+    for i, ((x, y), v) in enumerate(zip(np.rint(uv).astype(int), visible)):
+        if not v:
+            continue
+        if r <= x < width - r and r <= y < height - r:
+            img[y - r : y + r + 1, x - r : x + r + 1] = patches[i]
+    return img
+
+
+class TexturedRoom:
+    """A procedurally textured axis-aligned box room, rendered by ray
+    casting — perspective-correct and view-consistent (unlike sprite
+    pasting, where detected corners carry an image-space offset that is
+    inconsistent across baselines and biases VO).
+
+    Each face carries a bilinearly-sampled random grid texture: dense
+    FAST-corner-rich structure whose corners are true 3D points.
+    """
+
+    def __init__(self, rng: np.random.Generator, half_size=(6.0, 4.0, 6.0),
+                 tex_res: int = 64):
+        self.half = np.asarray(half_size, np.float64)
+        # 6 faces x (tex_res, tex_res) random textures, lightly smoothed.
+        tex = rng.random((6, tex_res + 1, tex_res + 1))
+        tex = 0.15 + 0.7 * (tex > 0.5).astype(np.float64)
+        self.tex = tex
+        self.res = tex_res
+
+    def render(self, cam: PinholeCamera, R: np.ndarray, t: np.ndarray,
+               width: int, height: int) -> np.ndarray:
+        fx, fy = float(cam.fx), float(cam.fy)
+        cx, cy = float(cam.cx), float(cam.cy)
+        us, vs = np.meshgrid(np.arange(width), np.arange(height))
+        d_cam = np.stack(
+            [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)], -1
+        )
+        Rm = np.asarray(R, np.float64)
+        C = -Rm.T @ np.asarray(t, np.float64)
+        d = d_cam @ Rm  # (H, W, 3) world-frame ray dirs (R^T applied rowwise)
+
+        best_t = np.full((height, width), np.inf)
+        out = np.full((height, width), 0.4)
+        for axis in range(3):
+            for sign in (-1.0, 1.0):
+                bound = sign * self.half[axis]
+                da = d[..., axis]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    th = (bound - C[axis]) / da
+                P = C[None, None, :] + th[..., None] * d
+                a1, a2 = [i for i in range(3) if i != axis]
+                ok = (
+                    (th > 1e-6)
+                    & np.isfinite(th)
+                    & (np.abs(P[..., a1]) <= self.half[a1] + 1e-9)
+                    & (np.abs(P[..., a2]) <= self.half[a2] + 1e-9)
+                    & (th < best_t)
+                )
+                # Face texture coords in [0, 1).
+                ua = (P[..., a1] / self.half[a1] + 1) * 0.5
+                va = (P[..., a2] / self.half[a2] + 1) * 0.5
+                face = axis * 2 + (sign > 0)
+                val = self._sample(int(face), ua, va)
+                out = np.where(ok, val, out)
+                best_t = np.where(ok, th, best_t)
+        return out.astype(np.float32)
+
+    def raycast(self, cam: PinholeCamera, R: np.ndarray, t: np.ndarray,
+                uv: np.ndarray) -> np.ndarray:
+        """Ground-truth 3D points (world) hit by rays through pixels uv (N, 2)."""
+        fx, fy = float(cam.fx), float(cam.fy)
+        cx, cy = float(cam.cx), float(cam.cy)
+        d_cam = np.stack(
+            [(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy, np.ones(len(uv))], -1
+        )
+        Rm = np.asarray(R, np.float64)
+        C = -Rm.T @ np.asarray(t, np.float64)
+        d = d_cam @ Rm
+        best_t = np.full(len(uv), np.inf)
+        P_out = np.zeros((len(uv), 3))
+        for axis in range(3):
+            for sign in (-1.0, 1.0):
+                bound = sign * self.half[axis]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    th = (bound - C[axis]) / d[:, axis]
+                P = C[None] + th[:, None] * d
+                a1, a2 = [i for i in range(3) if i != axis]
+                ok = (
+                    (th > 1e-6) & np.isfinite(th)
+                    & (np.abs(P[:, a1]) <= self.half[a1] + 1e-9)
+                    & (np.abs(P[:, a2]) <= self.half[a2] + 1e-9)
+                    & (th < best_t)
+                )
+                P_out = np.where(ok[:, None], P, P_out)
+                best_t = np.where(ok, th, best_t)
+        return P_out
+
+    def _sample(self, face: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        res = self.res
+        x = np.clip(u, 0, 1) * (res - 1)
+        y = np.clip(v, 0, 1) * (res - 1)
+        x0 = np.floor(x).astype(int)
+        y0 = np.floor(y).astype(int)
+        ax = x - x0
+        ay = y - y0
+        t = self.tex[face]
+        return (
+            t[y0, x0] * (1 - ax) * (1 - ay)
+            + t[y0, x0 + 1] * ax * (1 - ay)
+            + t[y0 + 1, x0] * (1 - ax) * ay
+            + t[y0 + 1, x0 + 1] * ax * ay
+        )
+
+
+def vo_sequence(rng: np.random.Generator, num_frames: int = 60,
+                num_points: int = 400, width: int = 320, height: int = 240,
+                radius: float = 2.0, step: float = 0.03):
+    """A full synthetic VO sequence: a camera orbiting inside a textured
+    room at a fixed angular step per frame (motion rate independent of
+    sequence length).  Returns (cam, images, gt_poses (world->cam), room)."""
+    cam = PinholeCamera.create(fx=260.0, fy=260.0,
+                               cx=width / 2 - 0.5, cy=height / 2 - 0.5)
+    room = TexturedRoom(rng)
+    poses = orbit_trajectory(num_frames, radius=radius, step=step,
+                             start=-0.35, target=(0.0, 0.0, 2.0))
+    images = [room.render(cam, R, t, width, height) for R, t in poses]
+    return cam, images, poses, room

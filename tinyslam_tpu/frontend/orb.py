@@ -46,12 +46,11 @@ def extract_features(
     parts: list[Features] = []
     for lvl in range(cfg.num_levels):
         with jax.named_scope(f"orb_level{lvl}"):
-            score, m10, m01 = fast_score_map(
+            score_raw, m10, m01 = fast_score_map(
                 levels[lvl], threshold, cfg.border, cfg.streak_length
             )
-            if cfg.nms:
-                score = nms3x3(score)
-            sel = select_topk(score, m10, m01, cfg.features_per_level)
+            score = nms3x3(score_raw) if cfg.nms else score_raw
+            sel = select_topk(score, score_raw, m10, m01, cfg.features_per_level)
             desc = brief_descriptors(
                 blurred[lvl],
                 sel["xy"],

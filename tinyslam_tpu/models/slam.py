@@ -1,0 +1,219 @@
+"""Full SLAM: visual odometry + place recognition + pose-graph loop closure
+(BASELINE config 5).
+
+Loop closure is scale-consistent without Sim3 machinery: a loop candidate's
+relative pose is measured by PnP-ing the OLD keyframe's stored features
+against the CURRENT map (whose scale is the map's own), not by a
+unit-baseline two-view solve.  After pose-graph optimization, landmarks are
+re-anchored: each landmark moves rigidly with the keyframe that created it
+(X' = T_anchor_new^-1 T_anchor_old X).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinyslam_tpu.config import SlamConfig
+from tinyslam_tpu.geometry.camera import PinholeCamera
+from tinyslam_tpu.geometry.pnp import pnp_refine
+from tinyslam_tpu.geometry.se3 import se3_apply, se3_compose, se3_inverse
+from tinyslam_tpu.models.vo import VisualOdometry, _match_to_map
+from tinyslam_tpu.ops.hamming import match_descriptors
+from tinyslam_tpu.types import Features, descriptor_signs
+
+
+@jax.jit
+def _kf_signature(feats: Features) -> jax.Array:
+    """Cheap global descriptor: mean of valid BRIEF sign vectors (256,).
+    A poor-man's bag-of-words prefilter for place recognition."""
+    signs = descriptor_signs(feats.desc).astype(jnp.float32)
+    w = feats.valid.astype(jnp.float32)[:, None]
+    return jnp.sum(signs * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+@jax.jit
+def _reanchor_landmarks(X, anchor_kf, valid, R_old, t_old, R_new, t_new):
+    """Move landmarks rigidly with their anchor keyframe's correction.
+    R_old/t_old/R_new/t_new: (KF_total, 3, 3) / (KF_total, 3) pose tables."""
+    a = jnp.clip(anchor_kf, 0, R_old.shape[0] - 1)
+    Ro, to = R_old[a], t_old[a]                       # (M, 3, 3), (M, 3)
+    Rn, tn = R_new[a], t_new[a]
+    # camera-frame coords under old pose, re-expressed via new pose:
+    Xc = jnp.einsum("mij,mj->mi", Ro, X) + to
+    Rni = jnp.swapaxes(Rn, -1, -2)
+    Xw = jnp.einsum("mij,mj->mi", Rni, Xc - tn)
+    return jnp.where(valid[:, None], Xw, X)
+
+
+class Slam:
+    """VO + loop closure.  Use exactly like VisualOdometry."""
+
+    def __init__(self, cfg: SlamConfig, camera: PinholeCamera, **vo_kwargs):
+        self.cfg = cfg
+        self.camera = camera
+        self.vo = VisualOdometry(cfg, camera, **vo_kwargs)
+        self.kf_store: list[Features] = []       # per-KF features
+        self.kf_signatures: list[np.ndarray] = []
+        self.kf_R: list[np.ndarray] = []         # running best pose per KF
+        self.kf_t: list[np.ndarray] = []
+        self.edges: list[tuple[int, int, np.ndarray, np.ndarray, float]] = []
+        self.num_loop_closures = 0
+
+    # ------------- keyframe bookkeeping -------------
+    def _sync_new_keyframes(self):
+        """Pull keyframes created by the VO layer since the last call."""
+        while len(self.kf_store) < self.vo.num_keyframes:
+            kf_id = len(self.kf_store)
+            # The VO logs (kf_id, R, t) in order; features: newest == vo.kf_feats
+            # for the latest, otherwise reconstruct from the log only.
+            _, R, t = self.vo.kf_poses_log[kf_id]
+            self.kf_R.append(R)
+            self.kf_t.append(t)
+            if kf_id == self.vo.num_keyframes - 1 and self.vo.kf_feats is not None:
+                feats = self.vo.kf_feats
+            elif kf_id == 0 and self.vo.kf0_feats is not None:
+                feats = self.vo.kf0_feats
+            else:
+                feats = self.vo.kf_feats
+            self.kf_store.append(feats)
+            self.kf_signatures.append(np.asarray(_kf_signature(feats)))
+            if kf_id > 0:
+                # Odometry edge from previous KF.
+                Rp, tp = self.kf_R[kf_id - 1], self.kf_t[kf_id - 1]
+                Ri, ti = se3_inverse(jnp.asarray(Rp), jnp.asarray(tp))
+                Re, te = se3_compose(jnp.asarray(R), jnp.asarray(t), Ri, ti)
+                self.edges.append((kf_id - 1, kf_id, np.asarray(Re), np.asarray(te), 1.0))
+                self._detect_loop(kf_id)
+
+    # ------------- loop closure -------------
+    def _detect_loop(self, kf_id: int):
+        pg = self.cfg.pose_graph
+        if kf_id < pg.loop_min_gap:
+            return
+        sig = self.kf_signatures[kf_id]
+        old_ids = np.arange(0, kf_id - pg.loop_min_gap + 1)
+        if len(old_ids) == 0:
+            return
+        sims = np.array([sig @ self.kf_signatures[i] for i in old_ids])
+        cand = old_ids[np.argsort(-sims)[:2]]
+        cur = self.kf_store[kf_id]
+        for old in cand:
+            old_feats = self.kf_store[int(old)]
+            m = match_descriptors(
+                cur.desc, cur.valid, old_feats.desc, old_feats.valid,
+                max_distance=self.cfg.matcher.max_distance,
+                ratio=self.cfg.matcher.ratio, cross_check=True,
+            )
+            if int(jnp.sum(m["valid"])) < pg.loop_min_matches:
+                continue
+            # Scale-consistent verification: PnP the old KF against the map.
+            idx, mvalid = _match_to_map(
+                old_feats, self.vo.map,
+                self.cfg.matcher.max_distance, self.cfg.matcher.ratio,
+            )
+            out = pnp_refine(
+                self.camera, self.vo.map.X[idx], old_feats.xy, mvalid,
+                jnp.asarray(self.kf_R[int(old)]), jnp.asarray(self.kf_t[int(old)]),
+                iters=self.cfg.vo.pnp_iters,
+                inlier_px=self.cfg.vo.pnp_inlier_px,
+            )
+            if int(out["num_inliers"]) < pg.loop_min_matches:
+                continue
+            # Edge old -> new measured through the map: T_edge = T_new o T_old'^-1
+            Ri, ti = se3_inverse(out["R"], out["t"])
+            Re, te = se3_compose(
+                jnp.asarray(self.kf_R[kf_id]), jnp.asarray(self.kf_t[kf_id]), Ri, ti
+            )
+            self.edges.append((int(old), kf_id, np.asarray(Re), np.asarray(te), 5.0))
+            self.num_loop_closures += 1
+            self._optimize_graph()
+            return
+
+    def _optimize_graph(self):
+        from tinyslam_tpu.backend.pose_graph import optimize_pose_graph
+
+        n = len(self.kf_R)
+        if n < 3 or not self.edges:
+            return
+        R_old = np.stack(self.kf_R)
+        t_old = np.stack(self.kf_t)
+        ei = np.array([e[0] for e in self.edges], np.int32)
+        ej = np.array([e[1] for e in self.edges], np.int32)
+        eR = np.stack([e[2] for e in self.edges])
+        et = np.stack([e[3] for e in self.edges])
+        ew = np.array([e[4] for e in self.edges], np.float32)
+        out = optimize_pose_graph(
+            jnp.asarray(R_old), jnp.asarray(t_old),
+            jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(eR), jnp.asarray(et),
+            jnp.asarray(np.ones(len(ei), bool)), jnp.asarray(ew),
+            iters=self.cfg.pose_graph.gn_iters,
+        )
+        R_new = np.asarray(out["R"])
+        t_new = np.asarray(out["t"])
+        # Re-anchor landmarks with their keyframe corrections.
+        self.vo.map = self.vo.map.replace(
+            X=_reanchor_landmarks(
+                self.vo.map.X, self.vo.map.anchor_kf, self.vo.map.valid,
+                jnp.asarray(R_old), jnp.asarray(t_old),
+                jnp.asarray(R_new), jnp.asarray(t_new),
+            )
+        )
+        # Update stored keyframe poses + the VO window + current pose.
+        for i in range(n):
+            self.kf_R[i] = R_new[i]
+            self.kf_t[i] = t_new[i]
+        for slot in range(len(self.vo.win_valid)):
+            if self.vo.win_valid[slot]:
+                kf_id = int(self.vo.win_kf_id[slot])
+                if 0 <= kf_id < n:
+                    self.vo.win_R = self.vo.win_R.at[slot].set(jnp.asarray(R_new[kf_id]))
+                    self.vo.win_t = self.vo.win_t.at[slot].set(jnp.asarray(t_new[kf_id]))
+        # Correct the live pose by the newest KF's correction.
+        newest = n - 1
+        corr_R, corr_t = se3_compose(
+            jnp.asarray(R_new[newest]), jnp.asarray(t_new[newest]),
+            *se3_inverse(jnp.asarray(R_old[newest]), jnp.asarray(t_old[newest])),
+        )
+        self.vo.R, self.vo.t = se3_compose(corr_R, corr_t, self.vo.R, self.vo.t)
+        self.vo.kf_pose = (
+            jnp.asarray(R_new[int(self.vo.win_kf_id[self._newest_slot()])]),
+            jnp.asarray(t_new[int(self.vo.win_kf_id[self._newest_slot()])]),
+        ) if self._newest_slot() is not None else self.vo.kf_pose
+
+    def _newest_slot(self):
+        nz = np.nonzero(self.vo.win_valid)[0]
+        return int(nz.max()) if len(nz) else None
+
+    # ------------- public API -------------
+    def process(self, image):
+        st = self.process_frame(image)
+        return st
+
+    def process_frame(self, image):
+        st = self.vo.process(image)
+        # Keep Slam's per-KF pose log in sync with BA-refined window poses.
+        self._sync_new_keyframes()
+        self._refresh_window_poses()
+        return st
+
+    def _refresh_window_poses(self):
+        for slot in range(len(self.vo.win_valid)):
+            if self.vo.win_valid[slot]:
+                kf_id = int(self.vo.win_kf_id[slot])
+                if 0 <= kf_id < len(self.kf_R):
+                    self.kf_R[kf_id] = np.asarray(self.vo.win_R[slot])
+                    self.kf_t[kf_id] = np.asarray(self.vo.win_t[slot])
+
+    def run(self, images):
+        return [self.process_frame(im) for im in images]
+
+    @property
+    def positions(self) -> np.ndarray:
+        return self.vo.positions
+
+    @property
+    def trajectory(self):
+        return self.vo.trajectory

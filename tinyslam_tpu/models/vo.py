@@ -1,0 +1,534 @@
+"""Visual odometry: frame-to-frame tracking with keyframes, map maintenance
+and sliding-window local BA (BASELINE configs 3-4).
+
+Architecture (SURVEY §7 hard part 1): every per-frame compute stage —
+extraction, map matching, PnP, triangulation, map insertion, window BA — is
+a fixed-shape jitted function; the HOST makes the data-dependent decisions
+(bootstrap readiness, keyframe insertion, track-loss) between stages from
+scalar summaries.  The map is a fixed-capacity slotmap pytree (capacity +
+valid mask), so no XLA shape ever depends on how many landmarks exist.
+
+World frame = camera frame of the first keyframe.  Poses are world->camera.
+Monocular scale is fixed at bootstrap by normalizing median scene depth.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tinyslam_tpu.config import SlamConfig
+from tinyslam_tpu.frontend.orb import OrbFrontend
+from tinyslam_tpu.geometry.camera import PinholeCamera
+from tinyslam_tpu.geometry.epipolar import depths, triangulate
+from tinyslam_tpu.geometry.pnp import pnp_refine
+from tinyslam_tpu.geometry.se3 import (
+    se3_compose,
+    se3_identity,
+    se3_inverse,
+)
+from tinyslam_tpu.models.two_view import TwoViewEstimator
+from tinyslam_tpu.ops.hamming import match_descriptors
+from tinyslam_tpu.types import Features
+
+
+@struct.dataclass
+class MapState:
+    """Fixed-capacity landmark slotmap."""
+
+    X: jax.Array          # (M, 3) world positions
+    desc: jax.Array       # (M, 8) uint32 BRIEF
+    valid: jax.Array      # (M,)
+    anchor_kf: jax.Array  # (M,) int32 — keyframe id that created the landmark
+
+    @staticmethod
+    def empty(capacity: int) -> "MapState":
+        return MapState(
+            X=jnp.zeros((capacity, 3), jnp.float32),
+            desc=jnp.zeros((capacity, 8), jnp.uint32),
+            valid=jnp.zeros((capacity,), bool),
+            anchor_kf=jnp.full((capacity,), -1, jnp.int32),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("max_distance", "ratio"))
+def _match_to_map(feats: Features, map_state: MapState, max_distance: int,
+                  ratio: float, cam: PinholeCamera | None = None,
+                  R: jax.Array | None = None, t: jax.Array | None = None,
+                  radius_px: float = 20.0):
+    """Match features to the map.  With a predicted pose (cam, R, t), do
+    GUIDED matching: a map point is only eligible within `radius_px` of its
+    predicted projection — removing globally-ambiguous matches under
+    repetitive texture and keeping PnP in its convergence basin."""
+    pair_mask = None
+    if R is not None:
+        pc = map_state.X @ R.T + t                     # (M, 3)
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        u = cam.fx * pc[..., 0] / z + cam.cx
+        v = cam.fy * pc[..., 1] / z + cam.cy
+        proj = jnp.stack([u, v], axis=-1)              # (M, 2)
+        in_front = pc[..., 2] > 1e-4
+        d2 = jnp.sum((feats.xy[:, None, :] - proj[None, :, :]) ** 2, axis=-1)
+        pair_mask = (d2 < radius_px * radius_px) & in_front[None, :]
+    m = match_descriptors(
+        feats.desc, feats.valid, map_state.desc, map_state.valid,
+        max_distance=max_distance, ratio=ratio, cross_check=True,
+        pair_mask=pair_mask,
+    )
+    return m["idx_b"], m["valid"]
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _track_pnp(cam: PinholeCamera, feats: Features, map_state: MapState,
+               map_idx: jax.Array, match_valid: jax.Array,
+               R0: jax.Array, t0: jax.Array, iters: int, inlier_px: float):
+    X = map_state.X[map_idx]
+    return pnp_refine(cam, X, feats.xy, match_valid, R0, t0,
+                      iters=iters, inlier_px=inlier_px)
+
+
+@functools.partial(jax.jit, static_argnames=("max_new",))
+def _triangulate_and_insert(
+    cam: PinholeCamera,
+    map_state: MapState,
+    kf_id: jax.Array,
+    R_a: jax.Array, t_a: jax.Array, feats_a: Features,
+    R_b: jax.Array, t_b: jax.Array, feats_b: Features,
+    idx_b: jax.Array, pair_valid: jax.Array,
+    already_mapped_a: jax.Array,
+    max_new: int,
+    min_parallax_cos: float = 0.9998,
+    max_reproj_px: float = 4.0,
+):
+    """Triangulate descriptor-matched (a, b) feature pairs and insert the
+    accepted new landmarks into free map slots.
+
+    idx_b: (N,) match of each a-feature in b; pair_valid: (N,).
+    already_mapped_a: (N,) a-features that already track a landmark (skip).
+    Returns (new_map_state, num_inserted).
+    """
+    xa = cam.normalize(feats_a.xy)                    # (N, 2)
+    xb = cam.normalize(feats_b.xy[idx_b])
+    cand = pair_valid & ~already_mapped_a
+
+    X = triangulate(R_a, t_a, xa, R_b, t_b, xb)       # (N, 3)
+    za = depths(R_a, t_a, X)
+    zb = depths(R_b, t_b, X)
+
+    # Reprojection checks in both views.
+    def reproj_err(R, t, uv):
+        pc = X @ R.T + t
+        zz = jnp.maximum(pc[..., 2], 1e-6)
+        u = cam.fx * pc[..., 0] / zz + cam.cx
+        v = cam.fy * pc[..., 1] / zz + cam.cy
+        return jnp.linalg.norm(jnp.stack([u, v], -1) - uv, axis=-1)
+
+    ea = reproj_err(R_a, t_a, feats_a.xy)
+    eb = reproj_err(R_b, t_b, feats_b.xy[idx_b])
+
+    # Parallax: angle between the two viewing rays.
+    Ca = -jnp.einsum("ij,i->j", R_a, t_a)             # camera centers (world)
+    Cb = -jnp.einsum("ij,i->j", R_b, t_b)
+    ra = X - Ca
+    rb = X - Cb
+    cos_par = jnp.sum(ra * rb, -1) / jnp.maximum(
+        jnp.linalg.norm(ra, axis=-1) * jnp.linalg.norm(rb, axis=-1), 1e-9
+    )
+
+    accept = (
+        cand
+        & (za > 0.05) & (zb > 0.05) & (za < 1e3) & (zb < 1e3)
+        & (ea < max_reproj_px) & (eb < max_reproj_px)
+        & (cos_par < min_parallax_cos)
+        & jnp.all(jnp.isfinite(X), axis=-1)
+    )
+
+    # Duplicate suppression: a candidate whose descriptor is already in the
+    # map would create a near-twin landmark; twins make the matcher's ratio
+    # test reject BOTH (best ~ second-best), which progressively poisons
+    # tracking.  One extra MXU Hamming matmul kills them at the source.
+    from tinyslam_tpu.ops.hamming import hamming_distance_matrix
+
+    d_map = hamming_distance_matrix(feats_a.desc, map_state.desc)   # (N, M)
+    d_map = jnp.where(map_state.valid[None, :], d_map, 1 << 14)
+    accept &= jnp.min(d_map, axis=1) > 40
+
+    # Rank candidates: accepted first (by feature score), take max_new.
+    rank_key = jnp.where(accept, feats_a.score, -1.0)
+    order = jnp.argsort(-rank_key)[:max_new]          # (max_new,)
+    ins_ok = accept[order]                            # (max_new,)
+    ins_X = X[order]
+    ins_desc = feats_a.desc[order]
+
+    free = jnp.argsort(map_state.valid)[:max_new]     # invalid slots first
+    # Only claim a free slot if it is actually free AND we have a candidate.
+    slot_free = ~map_state.valid[free]
+    write = ins_ok & slot_free
+
+    new_valid = map_state.valid.at[free].set(
+        jnp.where(write, True, map_state.valid[free])
+    )
+    new_X = map_state.X.at[free].set(
+        jnp.where(write[:, None], ins_X, map_state.X[free])
+    )
+    new_desc = map_state.desc.at[free].set(
+        jnp.where(write[:, None], ins_desc, map_state.desc[free])
+    )
+    new_anchor = map_state.anchor_kf.at[free].set(
+        jnp.where(write, kf_id, map_state.anchor_kf[free])
+    )
+    return (
+        MapState(X=new_X, desc=new_desc, valid=new_valid, anchor_kf=new_anchor),
+        jnp.sum(write.astype(jnp.int32)),
+    )
+
+
+@jax.jit
+def _record_obs(win_obs: jax.Array, win_mask: jax.Array, slot: jax.Array,
+                map_idx: jax.Array, uv: jax.Array, valid: jax.Array,
+                cam: PinholeCamera = None, map_X: jax.Array = None,
+                R: jax.Array = None, t: jax.Array = None,
+                gate_px: float = 8.0):
+    """Record per-keyframe observations: win_obs (K, M, 2), win_mask (K, M).
+
+    Observations are gated by reprojection error under the current geometry
+    — descriptor matching has a wrong-match tail, and un-gated wrong
+    observations accumulate in the BA window and drag it off."""
+    if map_X is not None:
+        pc = map_X[map_idx] @ R.T + t
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        u = cam.fx * pc[..., 0] / z + cam.cx
+        v = cam.fy * pc[..., 1] / z + cam.cy
+        err = jnp.linalg.norm(jnp.stack([u, v], -1) - uv, axis=-1)
+        valid = valid & (pc[..., 2] > 1e-4) & (err < gate_px)
+    obs_k = win_obs[slot]
+    mask_k = win_mask[slot]
+    obs_k = obs_k.at[map_idx].set(jnp.where(valid[:, None], uv, obs_k[map_idx]))
+    mask_k = mask_k.at[map_idx].set(jnp.where(valid, True, mask_k[map_idx]))
+    return win_obs.at[slot].set(obs_k), win_mask.at[slot].set(mask_k), valid
+
+
+@dataclass
+class VOStats:
+    frame: int = 0
+    num_features: int = 0
+    num_matches: int = 0
+    num_inliers: int = 0
+    num_landmarks: int = 0
+    is_keyframe: bool = False
+    tracking: bool = False
+    rmse_px: float = 0.0
+
+
+class VisualOdometry:
+    """Monocular visual odometry with sliding-window BA."""
+
+    def __init__(self, cfg: SlamConfig, camera: PinholeCamera,
+                 bootstrap_depth: float = 2.0):
+        self.cfg = cfg
+        self.camera = camera
+        self.frontend = OrbFrontend(cfg.frontend)
+        self.two_view = TwoViewEstimator(camera, cfg.matcher, cfg.ransac)
+        self.bootstrap_depth = bootstrap_depth
+        self.reset()
+
+    # ---------------- state ----------------
+    def reset(self):
+        cfg = self.cfg
+        M = cfg.vo.max_map_points
+        K = cfg.ba.max_keyframes
+        self.map = MapState.empty(M)
+        self.win_R = jnp.tile(jnp.eye(3)[None], (K, 1, 1)).astype(jnp.float32)
+        self.win_t = jnp.zeros((K, 3), jnp.float32)
+        self.win_obs = jnp.zeros((K, M, 2), jnp.float32)
+        self.win_mask = jnp.zeros((K, M), bool)
+        self.win_valid = np.zeros(K, bool)
+        self.win_kf_id = np.full(K, -1, np.int64)
+        self.kf_feats: Features | None = None   # latest keyframe features
+        self.kf_pose = se3_identity()
+        self.kf0_feats: Features | None = None  # bootstrap reference
+        self.num_keyframes = 0
+        self.frame_idx = -1
+        self.frames_since_kf = 0
+        self.initialized = False
+        self.R = jnp.eye(3, dtype=jnp.float32)
+        self.t = jnp.zeros(3, jnp.float32)
+        self.vel = se3_identity()               # constant-velocity model
+        self.trajectory: list[tuple[np.ndarray, np.ndarray]] = []
+        self.stats: list[VOStats] = []
+        self.kf_poses_log: list[tuple[int, np.ndarray, np.ndarray]] = []
+
+    # ---------------- keyframe window ----------------
+    def _push_keyframe(self, R, t, feats: Features, kf_id: int):
+        K = self.cfg.ba.max_keyframes
+        if self.win_valid.all():
+            # roll: drop oldest
+            self.win_R = jnp.roll(self.win_R, -1, axis=0)
+            self.win_t = jnp.roll(self.win_t, -1, axis=0)
+            self.win_obs = jnp.roll(self.win_obs, -1, axis=0)
+            self.win_mask = jnp.roll(self.win_mask, -1, axis=0)
+            self.win_valid = np.roll(self.win_valid, -1)
+            self.win_kf_id = np.roll(self.win_kf_id, -1)
+            slot = K - 1
+        else:
+            slot = int(np.argmin(self.win_valid))  # first free slot
+        self.win_R = self.win_R.at[slot].set(R)
+        self.win_t = self.win_t.at[slot].set(t)
+        self.win_obs = self.win_obs.at[slot].set(0.0)
+        self.win_mask = self.win_mask.at[slot].set(False)
+        self.win_valid[slot] = True
+        self.win_kf_id[slot] = kf_id
+        return slot
+
+    def _record_kf_observations(self, slot: int, feats: Features):
+        """Match the keyframe's features to the map and store observations
+        (reprojection-gated against the slot's current pose)."""
+        idx, mvalid = _match_to_map(
+            feats, self.map, self.cfg.matcher.max_distance, self.cfg.matcher.ratio,
+            cam=self.camera, R=self.win_R[slot], t=self.win_t[slot],
+        )
+        self.win_obs, self.win_mask, gated = _record_obs(
+            self.win_obs, self.win_mask, jnp.int32(slot), idx, feats.xy, mvalid,
+            cam=self.camera, map_X=self.map.X,
+            R=self.win_R[slot], t=self.win_t[slot],
+        )
+        # Refresh landmark descriptors from the latest observation — a
+        # descriptor frozen at birth goes stale as the viewpoint drifts and
+        # map matching decays with it (ORB-SLAM refreshes likewise).
+        # CRITICAL: refresh only reprojection-GATED matches.  Refreshing on a
+        # confidently-wrong match overwrites the landmark's appearance with a
+        # different corner's, permanently divorcing descriptor from 3D
+        # position — matches stay high while PnP inliers collapse.
+        new_desc = self.map.desc.at[idx].set(
+            jnp.where(gated[:, None], feats.desc, self.map.desc[idx])
+        )
+        self.map = self.map.replace(desc=new_desc)
+
+    def _local_ba(self):
+        cfg = self.cfg.ba
+        K = cfg.max_keyframes
+        n_valid = int(self.win_valid.sum())
+        if n_valid < 3:
+            return
+        pose_free = jnp.asarray(
+            self.win_valid
+            & (np.arange(K) >= 2)  # oldest slots are the gauge (slot order = age)
+        )
+        z = jnp.swapaxes(self.win_obs, 0, 1)          # (M, K, 2)
+        mask = jnp.swapaxes(self.win_mask, 0, 1) & jnp.asarray(self.win_valid)[None, :]
+        # Only optimize landmarks with >= 2 window observations: a single
+        # observation leaves the depth unconstrained (2 equations, 3
+        # unknowns) and LM would drag the point along its ray arbitrarily.
+        multi_obs = jnp.sum(mask.astype(jnp.int32), axis=1) >= 2
+        from tinyslam_tpu.backend.ba import bundle_adjust
+
+        out = bundle_adjust(
+            self.camera, self.win_R, self.win_t, self.map.X, z, mask,
+            pose_free, point_valid=self.map.valid & multi_obs,
+            max_iters=cfg.max_iters, huber=cfg.huber_delta,
+            lam0=cfg.damping_init, lam_up=cfg.damping_up,
+            lam_down=cfg.damping_down,
+        )
+        self.win_R, self.win_t = out["R"], out["t"]
+        self.map = self.map.replace(X=out["X"])
+        # Current pose = newest keyframe pose after BA.
+        newest = int(np.nonzero(self.win_valid)[0].max())
+        self.R, self.t = self.win_R[newest], self.win_t[newest]
+        self.kf_pose = (self.R, self.t)
+
+    # ---------------- bootstrap ----------------
+    def _try_bootstrap(self, feats: Features) -> bool:
+        res = self.two_view.estimate(self.kf0_feats, feats,
+                                     key=jax.random.PRNGKey(self.frame_idx))
+        n_matches = int(jnp.sum(res["match_valid"]))
+        if n_matches < 50:
+            # Scene overlap with the reference keyframe is gone — re-seed.
+            self.kf0_feats = feats
+            return False
+        n_in = int(res["num_inliers"])
+        if n_in < 60:
+            return False
+        X = np.asarray(res["points"])                  # frame-KF0 coords
+        good = np.asarray(res["inliers"] & res["match_valid"]).copy()
+        good &= np.isfinite(X).all(axis=-1) & (X[:, 2] > 0.1) & (X[:, 2] < 1e4)
+        if good.sum() < 50:
+            return False
+        med_depth = float(np.median(X[good][:, 2]))
+        # Parallax gate: a near-zero baseline triangulates garbage depths
+        # (classic mono-SLAM failure).  Require median ray-angle parallax.
+        R_np = np.asarray(res["R"])
+        t_np = np.asarray(res["t"])
+        C1 = -R_np.T @ t_np                        # second camera center
+        Xg = X[good]
+        r0 = Xg
+        r1 = Xg - C1
+        cosp = np.sum(r0 * r1, -1) / np.maximum(
+            np.linalg.norm(r0, axis=-1) * np.linalg.norm(r1, axis=-1), 1e-12
+        )
+        med_par = np.degrees(np.arccos(np.clip(np.median(cosp), -1, 1)))
+        if not (med_par >= self.cfg.vo.min_parallax_deg):  # NaN-safe reject
+            return False
+        scale = self.bootstrap_depth / med_depth
+        R_rel = res["R"]
+        t_rel = res["t"] * scale
+        Xs = X * scale
+
+        # World frame := KF0 camera frame.  Insert map points.
+        M = self.cfg.vo.max_map_points
+        n = min(int(good.sum()), M)
+        sel = np.nonzero(good)[0][:n]
+        self.map = MapState(
+            X=self.map.X.at[:n].set(jnp.asarray(Xs[sel], jnp.float32)),
+            desc=self.map.desc.at[:n].set(self.kf0_feats.desc[jnp.asarray(sel)]),
+            valid=self.map.valid.at[:n].set(True),
+            anchor_kf=self.map.anchor_kf.at[:n].set(0),
+        )
+        # Keyframes: KF0 at identity, current at (R_rel, t_rel).
+        R0, t0 = se3_identity()
+        s0 = self._push_keyframe(R0, t0, self.kf0_feats, kf_id=0)
+        self._record_kf_observations(s0, self.kf0_feats)
+        s1 = self._push_keyframe(R_rel, t_rel, feats, kf_id=1)
+        self._record_kf_observations(s1, feats)
+        self.kf_poses_log.append((0, np.asarray(R0), np.asarray(t0)))
+        self.kf_poses_log.append((1, np.asarray(R_rel), np.asarray(t_rel)))
+        self.num_keyframes = 2
+        self.R, self.t = R_rel, t_rel
+        self.kf_feats = feats
+        self.kf_pose = (R_rel, t_rel)
+        self.vel = se3_identity()
+        self._local_ba()
+        self.initialized = True
+        self.frames_since_kf = 0
+        return True
+
+    # ---------------- keyframe insertion ----------------
+    def _insert_keyframe(self, feats: Features, map_idx, match_valid, inliers):
+        kf_id = self.num_keyframes
+        self.num_keyframes += 1
+        R_b, t_b = self.kf_pose
+        already = match_valid & inliers               # features with landmarks
+        # Match current KF features against the previous KF for new points.
+        m = match_descriptors(
+            feats.desc, feats.valid, self.kf_feats.desc, self.kf_feats.valid,
+            max_distance=self.cfg.matcher.max_distance,
+            ratio=self.cfg.matcher.ratio, cross_check=True,
+        )
+        self.map, n_new = _triangulate_and_insert(
+            self.camera, self.map, jnp.int32(kf_id),
+            self.R, self.t, feats,
+            R_b, t_b, self.kf_feats,
+            m["idx_b"], m["valid"], already,
+            max_new=self.cfg.frontend.features_per_level,
+        )
+        # Re-record the PREVIOUS keyframe's observations so the landmarks
+        # just triangulated get their second view registered (they were not
+        # in the map when that slot was first recorded).
+        prev_slot = int(np.nonzero(self.win_valid)[0].max()) if self.win_valid.any() else None
+        if prev_slot is not None:
+            self._record_kf_observations(prev_slot, self.kf_feats)
+        slot = self._push_keyframe(self.R, self.t, feats, kf_id)
+        self._record_kf_observations(slot, feats)
+        self.kf_feats = feats
+        self.kf_pose = (self.R, self.t)
+        self.kf_poses_log.append((kf_id, np.asarray(self.R), np.asarray(self.t)))
+        self._local_ba()
+        self.frames_since_kf = 0
+        return int(n_new)
+
+    # ---------------- per-frame ----------------
+    def process(self, image) -> VOStats:
+        self.frame_idx += 1
+        cfg = self.cfg
+        feats = self.frontend.extract(image)
+        st = VOStats(frame=self.frame_idx, num_features=int(feats.count),
+                     num_landmarks=int(jnp.sum(self.map.valid)))
+
+        if not self.initialized:
+            if self.kf0_feats is None:
+                self.kf0_feats = feats
+                st.is_keyframe = True
+            else:
+                if self._try_bootstrap(feats):
+                    st.tracking = True
+                    st.is_keyframe = True
+                    st.num_landmarks = int(jnp.sum(self.map.valid))
+            self.trajectory.append((np.asarray(self.R), np.asarray(self.t)))
+            self.stats.append(st)
+            return st
+
+        # ---- tracking ----
+        Rv, tv = self.vel
+        R_pred, t_pred = se3_compose(Rv, tv, self.R, self.t)
+        if self.stats and not self.stats[-1].tracking and self.initialized:
+            # Lost last frame: the prediction is unreliable — fall back to
+            # GLOBAL matching so relocalization against the map is possible.
+            idx, mvalid = _match_to_map(
+                feats, self.map, cfg.matcher.max_distance, cfg.matcher.ratio
+            )
+        else:
+            idx, mvalid = _match_to_map(
+                feats, self.map, cfg.matcher.max_distance, cfg.matcher.ratio,
+                cam=self.camera, R=R_pred, t=t_pred,
+            )
+        st.num_matches = int(jnp.sum(mvalid))
+        out = _track_pnp(
+            self.camera, feats, self.map, idx, mvalid, R_pred, t_pred,
+            iters=cfg.vo.pnp_iters, inlier_px=cfg.vo.pnp_inlier_px,
+        )
+        n_in = int(out["num_inliers"])
+        st.num_inliers = n_in
+        st.rmse_px = float(out["rmse"])
+        pose_finite = bool(
+            np.isfinite(np.asarray(out["R"])).all()
+            and np.isfinite(np.asarray(out["t"])).all()
+        )
+        if n_in >= 20 and pose_finite and st.rmse_px < 3.0 * cfg.vo.pnp_inlier_px:
+            R_prev, t_prev = self.R, self.t
+            self.R, self.t = out["R"], out["t"]
+            Ri, ti = se3_inverse(R_prev, t_prev)
+            Rv, tv = se3_compose(self.R, self.t, Ri, ti)
+            # Low-pass the constant-velocity model: per-frame translation
+            # along the optical axis is weakly observable against distant
+            # structure, and feeding raw frame-to-frame deltas back as the
+            # next prediction amplifies that noise into oscillation.
+            from tinyslam_tpu.geometry.se3 import se3_exp as _exp, se3_log as _log
+
+            xi_new = _log(Rv, tv)
+            xi_old = _log(*self.vel)
+            self.vel = _exp(0.6 * xi_new + 0.4 * xi_old)
+            st.tracking = True
+        else:
+            # Tracking lost: hold the last pose and reset the motion model —
+            # integrating a stale velocity every frame diverges exponentially.
+            self.vel = se3_identity()
+            st.tracking = False
+
+        self.frames_since_kf += 1
+        need_kf = st.tracking and (
+            n_in < cfg.vo.keyframe_min_inliers
+            or self.frames_since_kf >= cfg.vo.keyframe_max_interval
+        )
+        if need_kf:
+            self._insert_keyframe(feats, idx, mvalid, out["inliers"])
+            st.is_keyframe = True
+            st.num_landmarks = int(jnp.sum(self.map.valid))
+
+        self.trajectory.append((np.asarray(self.R), np.asarray(self.t)))
+        self.stats.append(st)
+        return st
+
+    def run(self, images) -> list[VOStats]:
+        return [self.process(im) for im in images]
+
+    @property
+    def positions(self) -> np.ndarray:
+        """Camera centers (world frame) of the trajectory."""
+        out = []
+        for R, t in self.trajectory:
+            out.append(-R.T @ t)
+        return np.asarray(out)

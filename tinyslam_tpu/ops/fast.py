@@ -138,11 +138,50 @@ def fast_score_map(
     inside = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
     score = jnp.where(inside, score, 0.0)
 
-    dx = jnp.asarray([p[0] for p in RING16], jnp.float32)
-    dy = jnp.asarray([p[1] for p in RING16], jnp.float32)
-    m10 = jnp.tensordot(dx, ring, axes=((0,), (0,)))
-    m01 = jnp.tensordot(dy, ring, axes=((0,), (0,)))
+    m10, m01 = patch_moments(img)
     return score, m10, m01
+
+
+def patch_moments(img: jax.Array, radius: int = 7) -> tuple[jax.Array, jax.Array]:
+    """Dense intensity-centroid moments over a (2r+1)^2 patch, separably.
+
+    The reference accumulates the centroid over the 16 ring pixels only
+    (fast.wgsl:100-115) — on high-frequency texture that orientation is
+    nearly random, so the steered BRIEF rotation jitters between frames and
+    descriptors stop matching.  Canonical ORB uses a large-patch centroid;
+    here it is two separable passes per moment (box-sum one axis, linear
+    ramp the other), fused by XLA into VPU loops.
+
+    m10(x, y) = sum_{|dx|,|dy| <= r} dx * I(x+dx, y+dy);  m01 likewise with dy.
+    """
+    h, w = img.shape[-2:]
+    pad = [(0, 0)] * (img.ndim - 2) + [(radius, radius), (radius, radius)]
+    p = jnp.pad(img, pad, mode="edge")
+
+    def sweep(arr, axis, ramp):
+        out = None
+        n = img.shape[axis]
+        for i in range(2 * radius + 1):
+            coef = float(i - radius) if ramp else 1.0
+            if coef == 0.0:
+                continue
+            sl = jax.lax.slice_in_dim(arr, i, i + n, axis=axis)
+            term = sl * coef if ramp else sl
+            out = term if out is None else out + term
+        return out
+
+    box_y = sweep(jax.lax.slice_in_dim(p, radius, radius + w, axis=img.ndim - 1),
+                  img.ndim - 2, ramp=False)
+    box_x = sweep(jax.lax.slice_in_dim(p, radius, radius + h, axis=img.ndim - 2),
+                  img.ndim - 1, ramp=False)
+    # m10: ramp along x of the y-box-sum; m01: ramp along y of the x-box-sum.
+    py = jnp.pad(box_y, [(0, 0)] * (img.ndim - 2) + [(0, 0), (radius, radius)],
+                 mode="edge")
+    px = jnp.pad(box_x, [(0, 0)] * (img.ndim - 2) + [(radius, radius), (0, 0)],
+                 mode="edge")
+    m10 = sweep(py, img.ndim - 1, ramp=True)
+    m01 = sweep(px, img.ndim - 2, ramp=True)
+    return m10, m01
 
 
 def nms3x3(score: jax.Array) -> jax.Array:

@@ -45,8 +45,14 @@ def match_descriptors(
     max_distance: int = 64,
     ratio: float = 0.9,
     cross_check: bool = True,
+    pair_mask: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
     """Mutual-nearest Hamming matching with Lowe ratio test.
+
+    `pair_mask` (N, M) optionally restricts which pairs may match — e.g.
+    guided matching, where map points are only eligible near their predicted
+    projection.  Restricting candidates both removes wrong matches and makes
+    the ratio test meaningful under repetitive texture.
 
     Returns dict with
       idx_b:  (N,) int32 — best match in B for each A feature.
@@ -55,6 +61,8 @@ def match_descriptors(
     """
     d = hamming_distance_matrix(desc_a, desc_b)        # (N, M)
     d = jnp.where(valid_a[:, None] & valid_b[None, :], d, _BIG)
+    if pair_mask is not None:
+        d = jnp.where(pair_mask, d, _BIG)
 
     idx_b = jnp.argmin(d, axis=1)                      # (N,)
     best = jnp.min(d, axis=1)
