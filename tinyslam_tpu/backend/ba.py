@@ -71,8 +71,14 @@ def ba_normal_blocks(cam, R, t, X, z, mask, huber):
     return U, gc, V, gp, W, cost, num_ok
 
 
-def schur_reduce(U, gc, V, gp, W, lam, pose_free):
-    """Eliminate landmarks; returns (S (6K,6K), b (6K,), Vinv_damped)."""
+def schur_reduce(U, gc, V, gp, W, lam, pose_free, preduce=lambda x: x):
+    """Eliminate landmarks; returns (S (6K,6K), b (6K,), Vinv_damped).
+
+    `preduce` reduces landmark-summed quantities across devices (identity on
+    one chip; ``lax.psum`` over the landmark mesh axis under shard_map —
+    the ICI collective of SURVEY §2d).  U and gc must ALREADY be reduced by
+    the caller; V/gp/W/Vinv stay shard-local.
+    """
     K = U.shape[0]
     # Marquardt damping lam * (diag + eps) on both block diagonals.
     eyeK6 = jnp.eye(6, dtype=U.dtype)
@@ -86,10 +92,10 @@ def schur_reduce(U, gc, V, gp, W, lam, pose_free):
     Vinv = jnp.linalg.inv(Vd)                           # (L, 3, 3)
 
     T = jnp.einsum("lkab,lbc->lkac", W, Vinv)           # (L, K, 6, 3)
-    S_off = jnp.einsum("lkac,lmbc->kmab", T, W)         # (K, K, 6, 6)
+    S_off = preduce(jnp.einsum("lkac,lmbc->kmab", T, W))  # (K, K, 6, 6)
     S = -S_off
     S = S.at[jnp.arange(K), jnp.arange(K)].add(Ud)
-    b = gc - jnp.einsum("lkac,lc->ka", T, gp)           # (K, 6)
+    b = gc - preduce(jnp.einsum("lkac,lc->ka", T, gp))  # (K, 6)
 
     # Gauge fixing: project out rows/cols of fixed poses, identity on diag.
     free = pose_free.astype(U.dtype)                    # (K,)
@@ -133,12 +139,34 @@ def bundle_adjust(
     """
     if point_valid is not None:
         mask = mask & point_valid[:, None]
+    return _bundle_adjust_core(
+        cam, R, t, X, z, mask, pose_free,
+        max_iters=max_iters, huber=huber, lam0=lam0,
+        lam_up=lam_up, lam_down=lam_down, preduce=lambda x: x,
+    )
+
+
+def _bundle_adjust_core(
+    cam, R, t, X, z, mask, pose_free,
+    max_iters, huber, lam0, lam_up, lam_down, preduce,
+) -> dict:
+    """LM scan shared by the single-device and shard_map (distributed)
+    paths.  With `preduce = lax.psum(., landmark_axis)`, X/z/mask are the
+    LOCAL landmark shard: pose-side reductions cross the mesh, landmark
+    updates stay local, and every device runs the identical replicated
+    (6K x 6K) solve — the TP-analog map-sharding of SURVEY §2d."""
+
+    def blocks(R_, t_, X_):
+        U, gc, V, gp, W, cost, num_ok = ba_normal_blocks(
+            cam, R_, t_, X_, z, mask, huber
+        )
+        return (preduce(U), preduce(gc), V, gp, W,
+                preduce(cost), preduce(num_ok))
 
     def lm_step(state: BAState, _):
-        U, gc, V, gp, W, cost, num_ok = ba_normal_blocks(
-            cam, state.R, state.t, state.X, z, mask, huber
-        )
-        S, b, Vinv = schur_reduce(U, gc, V, gp, W, state.lam, pose_free)
+        U, gc, V, gp, W, cost, num_ok = blocks(state.R, state.t, state.X)
+        S, b, Vinv = schur_reduce(U, gc, V, gp, W, state.lam, pose_free,
+                                  preduce=preduce)
         K = U.shape[0]
         # Cholesky with fallback: if S is not PD (should not happen with
         # damping), the solve yields nan and the step is rejected below.
@@ -150,9 +178,7 @@ def bundle_adjust(
         R_new, t_new = se3_compose(dR, dt, state.R, state.t)
         X_new = state.X + dp
 
-        _, _, _, _, _, cost_new, num_ok_new = ba_normal_blocks(
-            cam, R_new, t_new, X_new, z, mask, huber
-        )
+        _, _, _, _, _, cost_new, num_ok_new = blocks(R_new, t_new, X_new)
         # A masked cost can only be compared when the active-residual sets
         # are comparable: a divergent step that pushes points behind the
         # cameras empties the mask and scores a spurious cost of 0.
@@ -161,7 +187,10 @@ def bundle_adjust(
             & (cost_new < cost)
             & (num_ok_new >= (9 * state.num_ok) // 10)
         )
-        accept &= jnp.all(jnp.isfinite(X_new)) & jnp.all(jnp.isfinite(t_new))
+        accept &= preduce(
+            jnp.all(jnp.isfinite(X_new)).astype(jnp.int32)
+        ) == _preduce_count(preduce)
+        accept &= jnp.all(jnp.isfinite(t_new))
         state_new = BAState(
             R=jnp.where(accept, R_new, state.R),
             t=jnp.where(accept, t_new, state.t),
@@ -176,7 +205,7 @@ def bundle_adjust(
         )
         return state_new, cost
 
-    _, _, _, _, _, cost0, num_ok0 = ba_normal_blocks(cam, R, t, X, z, mask, huber)
+    _, _, _, _, _, cost0, num_ok0 = blocks(R, t, X)
     init = BAState(R=R, t=t, X=X, lam=jnp.asarray(lam0, X.dtype), cost=cost0,
                    num_ok=num_ok0)
     final, costs = jax.lax.scan(lm_step, init, None, length=max_iters)
@@ -188,3 +217,9 @@ def bundle_adjust(
         "initial_cost": cost0,
         "lam": final.lam,
     }
+
+
+def _preduce_count(preduce) -> jax.Array:
+    """Number of participants in `preduce` (1 for identity, axis size for
+    psum) — psum of ones."""
+    return preduce(jnp.asarray(1, jnp.int32))

@@ -1,0 +1,19 @@
+"""Multi-chip / multi-host parallelism (SURVEY §2d).
+
+The reference is single-process, single-GPU (verified absence of any
+distributed code, SURVEY §2d); this layer is designed TPU-first from
+BASELINE config 5:
+
+- ``mesh``        — device mesh construction (frame x landmark axes) and
+                    multi-host init helpers.
+- ``frontend_dp`` — frame data parallelism: batched ORB extraction sharded
+                    over the `frame` axis.
+- ``dist_ba``     — landmark-sharded bundle adjustment under shard_map:
+                    per-shard normal blocks, Schur contributions psum-ed
+                    over ICI, replicated reduced-camera solve, shard-local
+                    landmark back-substitution.
+"""
+
+from tinyslam_tpu.parallel.mesh import make_mesh, initialize_multihost  # noqa: F401
+from tinyslam_tpu.parallel.frontend_dp import extract_features_batch  # noqa: F401
+from tinyslam_tpu.parallel.dist_ba import bundle_adjust_sharded  # noqa: F401

@@ -1,0 +1,69 @@
+"""Distributed bundle adjustment: landmark blocks sharded over the mesh.
+
+The TP-analog of SURVEY §2d: the (L, K) observation grid shards on L.  Each
+device builds normal-equation blocks for its landmark shard; the pose-side
+quantities (U, gc, the Schur sum W V^-1 W^T and its rhs, cost, counts) are
+``lax.psum``-reduced over the `landmark` ICI axis; the (6K x 6K) reduced
+camera solve runs replicated on every device (cheaper than a gather +
+scatter for K <= 16); landmark back-substitution stays shard-local.  One
+LM iteration therefore costs exactly two psums of O(K^2) blocks — bandwidth
+independent of the number of landmarks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tinyslam_tpu.backend.ba import _bundle_adjust_core
+from tinyslam_tpu.geometry.camera import PinholeCamera
+
+
+def bundle_adjust_sharded(
+    mesh: Mesh,
+    cam: PinholeCamera,
+    R: jax.Array,          # (K, 3, 3) replicated
+    t: jax.Array,          # (K, 3)
+    X: jax.Array,          # (L, 3)  — L must divide by the landmark axis
+    z: jax.Array,          # (L, K, 2)
+    mask: jax.Array,       # (L, K)
+    pose_free: jax.Array,  # (K,)
+    point_valid: jax.Array | None = None,
+    max_iters: int = 10,
+    huber: float = 5.0,
+    lam0: float = 1e-3,
+    lam_up: float = 10.0,
+    lam_down: float = 0.5,
+) -> dict:
+    """Same contract and (bitwise-equivalent up to reduction order) result
+    as backend.ba.bundle_adjust, with landmarks sharded over mesh axis
+    'landmark'."""
+    if point_valid is not None:
+        mask = mask & point_valid[:, None]
+
+    axis = "landmark"
+    repl = P()
+    shard_L = P(axis)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(repl, repl, repl, shard_L, shard_L, shard_L, repl),
+        out_specs={"R": repl, "t": repl, "X": shard_L, "cost": repl,
+                   "initial_cost": repl, "lam": repl},
+        check_vma=False,
+    )
+    def run(cam_, R_, t_, X_, z_, mask_, pose_free_):
+        return _bundle_adjust_core(
+            cam_, R_, t_, X_, z_, mask_, pose_free_,
+            max_iters=max_iters, huber=huber, lam0=lam0,
+            lam_up=lam_up, lam_down=lam_down,
+            preduce=lambda x: jax.lax.psum(x, axis),
+        )
+
+    with mesh:
+        return run(cam, R, t, X, z, mask, pose_free)
