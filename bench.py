@@ -5,6 +5,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Current headline: ORB front-end frames/s on one chip (BASELINE config 1,
 640x480, 4 pyramid levels, 2048 features).  The BASELINE.json north-star
 floor is 200 tracked frames/s/chip; vs_baseline = value / 200.
+
+Methodology notes:
+- every timed call uses a DISTINCT input frame (the sandbox TPU relay
+  memoizes identical executions, which silently inflates repeat-timing);
+- a bounded async queue (depth = round size) with block_until_ready on all
+  outputs per round; median round throughput reported;
+- both the Pallas-fused and pure-XLA front-end paths are measured; the
+  headline is the Pallas path (production path), xla_fps is the reference.
 """
 
 from __future__ import annotations
@@ -15,45 +23,50 @@ import time
 import numpy as np
 
 
-def bench_frontend(repeats: int = 50, warmup: int = 3) -> float:
+def _measure(cfg, frames, warm, rounds: int = 4):
     import jax
     import jax.numpy as jnp
 
-    from tinyslam_tpu.config import FrontendConfig
     from tinyslam_tpu.frontend.orb import extract_features
 
-    cfg = FrontendConfig(height=480, width=640, num_levels=4, features_per_level=512)
+    t = jnp.float32(cfg.threshold)
+    f = jax.jit(lambda im, t: extract_features(im, t, cfg))
+    jax.block_until_ready(f(warm, t))
+    per_round = []
+    n = len(frames)
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        outs = [f(im, t) for im in frames]
+        jax.block_until_ready(outs)
+        per_round.append(n / (time.perf_counter() - t0))
+        # refresh inputs so no round re-submits an already-seen executable+input
+        frames = [im + np.float32(1e-6) for im in frames]
+    return float(np.median(per_round))
 
-    @jax.jit
-    def fn(image, threshold):
-        return extract_features(image, threshold, cfg)
+
+def bench_frontend() -> dict:
+    import jax.numpy as jnp
+
+    from tinyslam_tpu.config import FrontendConfig
 
     rng = np.random.default_rng(0)
-    # A realistic frame: smooth background + texture so FAST actually fires.
-    base = rng.random((480, 640)).astype(np.float32)
-    image = jnp.asarray(base)
-    threshold = jnp.float32(cfg.threshold)
+    frames = [jnp.asarray(rng.random((480, 640), np.float32)) for _ in range(16)]
+    warm = jnp.asarray(rng.random((480, 640), np.float32))
 
-    feats = fn(image, threshold)
-    jax.block_until_ready(feats)
-    for _ in range(warmup):
-        jax.block_until_ready(fn(image, threshold))
-
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fn(image, threshold)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return repeats / dt
+    fps_pallas = _measure(FrontendConfig(use_pallas=True), frames, warm)
+    fps_xla = _measure(FrontendConfig(use_pallas=False), frames, warm)
+    return {"pallas_fps": fps_pallas, "xla_fps": fps_xla}
 
 
 def main():
-    fps = bench_frontend()
+    r = bench_frontend()
+    fps = r["pallas_fps"]
     print(json.dumps({
         "metric": "frontend_frames_per_s_chip",
-        "value": round(fps, 2),
+        "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 200.0, 3),
+        "xla_path_fps": round(r["xla_fps"], 1),
     }))
 
 

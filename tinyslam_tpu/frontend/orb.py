@@ -43,13 +43,25 @@ def extract_features(
     gray = rgb_to_gray(image) if image.ndim == 3 else image.astype(jnp.float32)
     levels, blurred = build_pyramid(gray, cfg.num_levels, cfg.blur_sigma)
 
+    # The fused Pallas kernels (ops.fast_pallas) only lower on real TPU;
+    # CPU (tests, virtual meshes) uses the pure-XLA reference path.
+    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+    if use_pallas:
+        from tinyslam_tpu.ops.fast_pallas import fast_score_map_fused
+
     parts: list[Features] = []
     for lvl in range(cfg.num_levels):
         with jax.named_scope(f"orb_level{lvl}"):
-            score_raw, m10, m01 = fast_score_map(
-                levels[lvl], threshold, cfg.border, cfg.streak_length
-            )
-            score = nms3x3(score_raw) if cfg.nms else score_raw
+            if use_pallas:
+                score_raw, score_nms, m10, m01 = fast_score_map_fused(
+                    levels[lvl], threshold, cfg.border, cfg.streak_length
+                )
+                score = score_nms if cfg.nms else score_raw
+            else:
+                score_raw, m10, m01 = fast_score_map(
+                    levels[lvl], threshold, cfg.border, cfg.streak_length
+                )
+                score = nms3x3(score_raw) if cfg.nms else score_raw
             sel = select_topk(score, score_raw, m10, m01, cfg.features_per_level)
             desc = brief_descriptors(
                 blurred[lvl],

@@ -1,0 +1,223 @@
+"""Fused Pallas TPU kernels for the FAST stage of the front-end.
+
+Two kernel passes over VMEM-resident row bands compute, per pixel:
+  1. score kernel — the FAST-16 bitmask ring test with the rotate-AND
+     streak detector (reference src/shaders/fast.wgsl:51-60, vectorized on
+     int32 lanes), the margin corner score and fused 3x3 non-max
+     suppression;
+  2. moments kernel — separable 15x15 intensity-centroid moments
+     (orientation).
+
+The pure-XLA path (ops.fast) materializes a (16, H, W) ring stack and
+several padded intermediates in HBM (~15-20x off speed-of-light measured on
+chip); here every shifted view is a VMEM rotate via pltpu.roll.  Two passes
+instead of one because Mosaic's scoped-VMEM allocator accounts every live
+SSA temporary: the combined kernel's ~60 band-sized values blow the 16 MB
+budget, the split kernels stay comfortably under it.
+
+Large levels are tiled into row bands with an 8-row halo (ring 3 + NMS 1;
+moments 7): the band plus halo is DMA'd from HBM into VMEM scratch,
+computed, and the interior rows written out.  Small levels run as a single
+whole-image program.  Rolls wrap at the image edges; all wrapped pixels lie
+inside the >= 20 px border that the score map masks (same argument as the
+reference's border guard, fast.wgsl:74-77); moments are only read at
+selected features, which lie inside that border.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tinyslam_tpu.ops.fast import RING16
+
+_MOMENT_RADIUS = 7
+_HALO = 8          # max stencil reach (multiple of 8 for sublane alignment)
+_TILE = 96         # rows per band (multiple of 8; 480 = 5 * 96)
+_SMALL_PIXELS = 30_000  # below this, single whole-image program
+
+
+def _roll2(x, dy, dx):
+    """x[y+dy, x+dx] via circular rolls (negative shift brings +d into place)."""
+    out = x
+    if dy:
+        out = pltpu.roll(out, -dy % out.shape[0], axis=0)
+    if dx:
+        out = pltpu.roll(out, -dx % out.shape[1], axis=1)
+    return out
+
+
+def _rot16(x, c):
+    return ((x >> c) | (x << (16 - c))) & jnp.int32(0xFFFF)
+
+
+def _runs(x, n):
+    """Bit i set iff bits i..i+n-1 (mod 16) set — binary rotate-AND chain."""
+    pow_runs = {1: x}
+    k = 1
+    while k * 2 <= n:
+        pow_runs[k * 2] = pow_runs[k] & _rot16(pow_runs[k], k)
+        k *= 2
+    run = None
+    length = 0
+    for p2 in sorted(pow_runs, reverse=True):
+        if length + p2 <= n:
+            run = pow_runs[p2] if run is None else run & _rot16(pow_runs[p2], length)
+            length += p2
+    return run
+
+
+def _score_maps(img, t, streak, border, y0, img_h, img_w=None):
+    """(raw_score, nms_score) for one band; y0 = global row of band row 0."""
+    h, w = img.shape
+    if img_w is None:
+        img_w = w
+    bits_over = jnp.zeros(img.shape, jnp.int32)
+    bits_under = jnp.zeros(img.shape, jnp.int32)
+    margin_over = jnp.zeros(img.shape, jnp.float32)
+    margin_under = jnp.zeros(img.shape, jnp.float32)
+    for i, (dx, dy) in enumerate(RING16):
+        p = _roll2(img, dy, dx)
+        d = p - img
+        bits_over = bits_over | jnp.where(d > t, jnp.int32(1 << i), 0)
+        bits_under = bits_under | jnp.where(d < -t, jnp.int32(1 << i), 0)
+        margin_over = margin_over + jnp.maximum(d - t, 0.0)
+        margin_under = margin_under + jnp.maximum(-d - t, 0.0)
+
+    is_corner = (_runs(bits_over, streak) | _runs(bits_under, streak)) > 0
+    score = jnp.where(is_corner, jnp.maximum(margin_over, margin_under), 0.0)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, img.shape, 0) + y0
+    xs = jax.lax.broadcasted_iota(jnp.int32, img.shape, 1)
+    inside = (
+        (ys >= border) & (ys < img_h - border)
+        & (xs >= border) & (xs < img_w - border)
+    )
+    score = jnp.where(inside, score, 0.0)
+
+    # 3x3 NMS: strict > vs raster-earlier neighbours, >= vs later.
+    keep = score > 0.0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = _roll2(score, dy, dx)
+            keep = keep & ((score > nb) if (dy, dx) < (0, 0) else (score >= nb))
+    return score, jnp.where(keep, score, 0.0)
+
+
+def _moment_maps(img, t, streak, border, y0, img_h, img_w=None):
+    """(m10, m01): separable 15x15 patch moments (box one axis, ramp other)."""
+    r = _MOMENT_RADIUS
+    box_y = img
+    for dy in range(1, r + 1):
+        box_y = box_y + _roll2(img, dy, 0) + _roll2(img, -dy, 0)
+    box_x = img
+    for dx in range(1, r + 1):
+        box_x = box_x + _roll2(img, 0, dx) + _roll2(img, 0, -dx)
+    m10 = jnp.zeros(img.shape, jnp.float32)
+    m01 = jnp.zeros(img.shape, jnp.float32)
+    for d in range(1, r + 1):
+        m10 = m10 + float(d) * (_roll2(box_y, 0, d) - _roll2(box_y, 0, -d))
+        m01 = m01 + float(d) * (_roll2(box_x, d, 0) - _roll2(box_x, -d, 0))
+    return m10, m01
+
+
+def _make_small_kernel(body, streak, border, true_w):
+    def kernel(img_ref, t_ref, *out_refs):
+        outs = body(img_ref[:], t_ref[0], streak, border, 0, img_ref.shape[0],
+                    true_w)
+        for ref, val in zip(out_refs, outs):
+            ref[:] = val
+    return kernel
+
+
+def _make_tiled_kernel(body, streak, border, padded_h, true_h, true_w):
+    def kernel(img_hbm, t_ref, *rest):
+        n_out = len(rest) - 2
+        out_refs, buf, sem = rest[:n_out], rest[-2], rest[-1]
+        i = pl.program_id(0)
+        band = _TILE + 2 * _HALO
+        start = pl.multiple_of(
+            jnp.clip(i * _TILE - _HALO, 0, padded_h - band), 8
+        )
+        dma = pltpu.make_async_copy(img_hbm.at[pl.ds(start, band), :], buf, sem)
+        dma.start()
+        dma.wait()
+        outs = body(buf[:], t_ref[0], streak, border, start, true_h, true_w)
+
+        # Band offset is 0 (top tile), _HALO (interior) or 2*_HALO (bottom)
+        # — static slices under predication (dynamic value slices don't
+        # lower on TPU Pallas).
+        def emit(off):
+            def _():
+                for ref, val in zip(out_refs, outs):
+                    ref[:] = val[off : off + _TILE]
+            return _
+
+        n = pl.num_programs(0)
+        pl.when(i == 0)(emit(0))
+        pl.when((i > 0) & (i < n - 1))(emit(_HALO))
+        pl.when((i == n - 1) & (n > 1))(emit(2 * _HALO))
+    return kernel
+
+
+def _stencil_call(body, n_out, img, t, streak, border):
+    h, w = img.shape
+    band = _TILE + 2 * _HALO
+    n_tiles = -(-h // _TILE)
+    if h * w <= _SMALL_PIXELS or h % 8 != 0 or n_tiles < 2 or n_tiles * _TILE < band:
+        return pl.pallas_call(
+            _make_small_kernel(body, streak, border, w),
+            out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * n_out,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
+        )(img, t)
+
+    # Pad rows to a band multiple and columns to the 128-lane tile (HBM
+    # slices must be lane-tile aligned); true h/w bound the border mask.
+    hp = n_tiles * _TILE
+    wp = -(-w // 128) * 128
+    img_p = jnp.pad(img, ((0, hp - h), (0, wp - w))) if (hp, wp) != (h, w) else img
+    out_spec = pl.BlockSpec((_TILE, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_tiled_kernel(body, streak, border, hp, h, w),
+        grid=(n_tiles,),
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * n_out,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[out_spec] * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((band, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(img_p, t)
+    return [o[:h, :w] for o in out]
+
+
+@functools.partial(jax.jit, static_argnames=("border", "streak"))
+def fast_score_map_fused(
+    img: jax.Array,
+    threshold: jax.Array | float,
+    border: int = 20,
+    streak: int = 9,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused FAST stage: returns (score_raw, score_nms, m10, m01).
+
+    Semantics match ops.fast.fast_score_map + nms3x3 + patch_moments away
+    from the border.
+    """
+    img = img.astype(jnp.float32)
+    t = jnp.asarray(threshold, jnp.float32).reshape(1)
+    raw, nms = _stencil_call(_score_maps, 2, img, t, streak, border)
+    m10, m01 = _stencil_call(_moment_maps, 2, img, t, streak, border)
+    return raw, nms, m10, m01
