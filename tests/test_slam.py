@@ -1,0 +1,65 @@
+"""Full SLAM with loop closure on an out-and-back synthetic sequence
+(BASELINE config 5 analog, single host)."""
+
+import numpy as np
+import pytest
+
+from tinyslam_tpu.config import (
+    BAConfig,
+    FrontendConfig,
+    PoseGraphConfig,
+    SlamConfig,
+    VOConfig,
+)
+from tinyslam_tpu.data.synthetic import vo_sequence
+from tinyslam_tpu.models.slam import Slam
+from tinyslam_tpu.utils.evaluation import ate_rmse
+
+
+def _cfg():
+    return SlamConfig(
+        frontend=FrontendConfig(height=240, width=320, num_levels=2,
+                                features_per_level=256, threshold=0.08,
+                                interpolate_descriptors=True),
+        vo=VOConfig(max_map_points=4096, keyframe_min_inliers=80,
+                    keyframe_max_interval=5),
+        ba=BAConfig(max_keyframes=8, max_iters=6),
+        pose_graph=PoseGraphConfig(loop_min_gap=6, loop_min_matches=40,
+                                   gn_iters=10),
+    )
+
+
+@pytest.fixture(scope="module")
+def out_and_back():
+    rng = np.random.default_rng(7)
+    cam, images, poses, room = vo_sequence(rng, num_frames=36)
+    # Return to start: traverse the same viewpoints backwards (revisits
+    # earlier scenery -> place recognition must fire).
+    images2 = images + images[-2:0:-1]
+    poses2 = poses + poses[-2:0:-1]
+    return cam, images2, poses2
+
+
+def test_slam_runs_and_closes_loops(out_and_back):
+    cam, images, gt_poses = out_and_back
+    slam = Slam(_cfg(), cam)
+    slam.run(images)
+    assert slam.vo.initialized
+    ntrk = sum(1 for s in slam.vo.stats if s.tracking)
+    assert ntrk > 0.7 * len(images), f"tracked {ntrk}/{len(images)}"
+    # The return leg revisits mapped territory: at least one loop closure.
+    assert slam.num_loop_closures >= 1
+    gt_pos = np.stack([-(R.T @ t) for R, t in gt_poses])
+    first = next(i for i, s in enumerate(slam.vo.stats) if s.tracking)
+    ate = ate_rmse(slam.positions[first:], gt_pos[first:])
+    assert ate < 0.6, f"ATE {ate:.3f}"
+
+
+def test_slam_edges_and_nodes_consistent(out_and_back):
+    cam, images, _ = out_and_back
+    slam = Slam(_cfg(), cam)
+    slam.run(images[:20])
+    n = len(slam.kf_R)
+    assert n == slam.vo.num_keyframes == len(slam.kf_store)
+    for i, j, _, _, w in slam.edges:
+        assert 0 <= i < n and 0 <= j < n and w > 0

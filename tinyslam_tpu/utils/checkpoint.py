@@ -1,0 +1,128 @@
+"""Checkpoint / resume (SURVEY §5): the map, keyframe window and trajectory
+are pytrees -> Orbax checkpoints.  Resume = reload + continue tracking (the
+re-localization against the restored map is the VO's normal lost-recovery
+path).
+
+The reference has no persistent state at all (the layer that would need it
+was never built, reference README.md:53-57).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+import orbax.checkpoint as ocp
+
+
+def _vo_state_pytree(vo) -> dict:
+    return {
+        "map": {
+            "X": vo.map.X,
+            "desc": vo.map.desc,
+            "valid": vo.map.valid,
+            "anchor_kf": vo.map.anchor_kf,
+        },
+        "window": {
+            "R": vo.win_R,
+            "t": vo.win_t,
+            "obs": vo.win_obs,
+            "mask": vo.win_mask,
+        },
+        "pose": {"R": vo.R, "t": vo.t},
+        "vel": {"R": vo.vel[0], "t": vo.vel[1]},
+        "kf_pose": {"R": vo.kf_pose[0], "t": vo.kf_pose[1]},
+        "kf_feats": _features_dict(
+            vo.kf_feats
+            if vo.kf_feats is not None
+            else _empty_features(vo.cfg.frontend.max_features)
+        ),
+    }
+
+
+def _empty_features(capacity: int):
+    from tinyslam_tpu.types import Features
+
+    return Features.empty(capacity)
+
+
+def _features_dict(f) -> dict:
+    return {
+        "xy": f.xy, "level": f.level, "angle": f.angle,
+        "score": f.score, "desc": f.desc, "valid": f.valid,
+    }
+
+
+def save_vo(vo, path) -> None:
+    """Checkpoint a VisualOdometry (or Slam().vo) instance."""
+    path = Path(path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "arrays", _vo_state_pytree(vo))
+    ckptr.wait_until_finished()
+    meta = {
+        "win_valid": np.asarray(vo.win_valid).tolist(),
+        "win_kf_id": np.asarray(vo.win_kf_id).tolist(),
+        "num_keyframes": vo.num_keyframes,
+        "frame_idx": vo.frame_idx,
+        "frames_since_kf": vo.frames_since_kf,
+        "initialized": vo.initialized,
+        "has_kf_feats": vo.kf_feats is not None,
+        "trajectory": [
+            [np.asarray(R).tolist(), np.asarray(t).tolist()]
+            for R, t in vo.trajectory
+        ],
+    }
+    (path / "meta.json").write_text(json.dumps(meta))
+
+
+def restore_vo(vo, path) -> None:
+    """Restore state saved by save_vo into a freshly-constructed instance
+    (same config)."""
+    import jax.numpy as jnp
+
+    path = Path(path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree.map(np.asarray, _vo_state_pytree(vo))
+    state = ckptr.restore(path / "arrays", target)
+    from tinyslam_tpu.models.vo import MapState
+
+    vo.map = MapState(
+        X=jnp.asarray(state["map"]["X"]),
+        desc=jnp.asarray(state["map"]["desc"]),
+        valid=jnp.asarray(state["map"]["valid"]),
+        anchor_kf=jnp.asarray(state["map"]["anchor_kf"]),
+    )
+    vo.win_R = jnp.asarray(state["window"]["R"])
+    vo.win_t = jnp.asarray(state["window"]["t"])
+    vo.win_obs = jnp.asarray(state["window"]["obs"])
+    vo.win_mask = jnp.asarray(state["window"]["mask"])
+    vo.R = jnp.asarray(state["pose"]["R"])
+    vo.t = jnp.asarray(state["pose"]["t"])
+    vo.vel = (jnp.asarray(state["vel"]["R"]), jnp.asarray(state["vel"]["t"]))
+    vo.kf_pose = (
+        jnp.asarray(state["kf_pose"]["R"]), jnp.asarray(state["kf_pose"]["t"])
+    )
+
+    meta = json.loads((path / "meta.json").read_text())
+    if meta.get("has_kf_feats", False):
+        from tinyslam_tpu.types import Features
+
+        kf = state["kf_feats"]
+        vo.kf_feats = Features(
+            xy=jnp.asarray(kf["xy"]), level=jnp.asarray(kf["level"]),
+            angle=jnp.asarray(kf["angle"]), score=jnp.asarray(kf["score"]),
+            desc=jnp.asarray(kf["desc"]), valid=jnp.asarray(kf["valid"]),
+        )
+    vo.win_valid = np.asarray(meta["win_valid"], bool)
+    vo.win_kf_id = np.asarray(meta["win_kf_id"], np.int64)
+    vo.num_keyframes = meta["num_keyframes"]
+    vo.frame_idx = meta["frame_idx"]
+    vo.frames_since_kf = meta["frames_since_kf"]
+    vo.initialized = meta["initialized"]
+    vo.trajectory = [
+        (np.asarray(R, np.float32), np.asarray(t, np.float32))
+        for R, t in meta["trajectory"]
+    ]
