@@ -26,13 +26,25 @@ def test_extract_shapes_and_counts():
 
 
 def test_extract_deterministic():
-    fe = OrbFrontend(_cfg())
+    # Two fresh frontends (extract() adapts its threshold statefully, so
+    # determinism is process-level: same construction + same inputs).
     rng = np.random.default_rng(9)
     img = jnp.asarray(rng.random((96, 128)).astype(np.float32))
-    f1 = fe.extract(img)
-    f2 = fe.extract(img)
+    f1 = OrbFrontend(_cfg()).extract(img)
+    f2 = OrbFrontend(_cfg()).extract(img)
     for a, b in zip(jax.tree.leaves(f1), jax.tree.leaves(f2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adaptive_threshold_converges_count():
+    cfg = _cfg(adaptive_threshold=True, target_fill=0.5, threshold=0.01)
+    fe = OrbFrontend(cfg)
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.random((96, 128)).astype(np.float32))
+    for _ in range(25):
+        f = fe.extract(img)
+    fill = int(f.count) / f.capacity
+    assert 0.2 < fill <= 1.0, fill
 
 
 def test_dot_grid_corners_on_grid():

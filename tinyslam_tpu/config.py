@@ -75,6 +75,8 @@ class FrontendConfig(_JsonMixin):
     nms: bool = True               # 3x3 non-max suppression (reference has none)
     use_pallas: bool = True        # Pallas fused score kernel vs pure-XLA path
     interpolate_descriptors: bool = False  # nearest sampling, as reference brief.wgsl:57-60
+    adaptive_threshold: bool = True  # feedback controller on the FAST threshold
+    target_fill: float = 0.75      # desired detected/capacity ratio
 
     @property
     def max_features(self) -> int:

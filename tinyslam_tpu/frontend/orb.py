@@ -92,6 +92,12 @@ class OrbFrontend:
         fe = OrbFrontend(FrontendConfig(height=480, width=640))
         feats = fe.extract(frame)            # compiled once per image shape
         feats = fe.extract(frame, threshold=0.08)
+
+    Adaptive thresholding (cfg.adaptive_threshold): the FAST threshold is a
+    runtime scalar (no retrace), nudged each frame so the detected count
+    tracks ``target_fill`` of capacity — the controller the reference's
+    ``initial_threshold`` naming implies but never built (orb.rs:44,
+    set_threshold orb.rs:585-589 is the manual version).
     """
 
     def __init__(self, cfg: FrontendConfig):
@@ -99,7 +105,17 @@ class OrbFrontend:
         self._extract = jax.jit(
             functools.partial(extract_features, cfg=cfg)
         )
+        self._threshold = float(cfg.threshold)
 
     def extract(self, image: jax.Array, threshold: float | None = None) -> Features:
-        t = self.cfg.threshold if threshold is None else threshold
-        return self._extract(image, jnp.float32(t))
+        t = self._threshold if threshold is None else threshold
+        feats = self._extract(image, jnp.float32(t))
+        if threshold is None and self.cfg.adaptive_threshold:
+            fill = float(feats.count) / feats.capacity
+            target = self.cfg.target_fill
+            # Multiplicative controller, clamped to a sane range.
+            if fill > min(0.99, target * 1.2):
+                self._threshold = min(self._threshold * 1.1, 0.5)
+            elif fill < target * 0.8:
+                self._threshold = max(self._threshold * 0.9, 0.01)
+        return feats

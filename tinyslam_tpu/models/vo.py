@@ -45,6 +45,8 @@ class MapState:
     desc: jax.Array       # (M, 8) uint32 BRIEF
     valid: jax.Array      # (M,)
     anchor_kf: jax.Array  # (M,) int32 — keyframe id that created the landmark
+    obs_count: jax.Array  # (M,) int32 — gated keyframe observations
+    last_seen: jax.Array  # (M,) int32 — keyframe id of last gated observation
 
     @staticmethod
     def empty(capacity: int) -> "MapState":
@@ -53,6 +55,8 @@ class MapState:
             desc=jnp.zeros((capacity, 8), jnp.uint32),
             valid=jnp.zeros((capacity,), bool),
             anchor_kf=jnp.full((capacity,), -1, jnp.int32),
+            obs_count=jnp.zeros((capacity,), jnp.int32),
+            last_seen=jnp.full((capacity,), -1, jnp.int32),
         )
 
 
@@ -182,8 +186,15 @@ def _triangulate_and_insert(
     new_anchor = map_state.anchor_kf.at[free].set(
         jnp.where(write, kf_id, map_state.anchor_kf[free])
     )
+    new_obs = map_state.obs_count.at[free].set(
+        jnp.where(write, 1, map_state.obs_count[free])
+    )
+    new_seen = map_state.last_seen.at[free].set(
+        jnp.where(write, kf_id, map_state.last_seen[free])
+    )
     return (
-        MapState(X=new_X, desc=new_desc, valid=new_valid, anchor_kf=new_anchor),
+        MapState(X=new_X, desc=new_desc, valid=new_valid, anchor_kf=new_anchor,
+                 obs_count=new_obs, last_seen=new_seen),
         jnp.sum(write.astype(jnp.int32)),
     )
 
@@ -307,7 +318,13 @@ class VisualOdometry:
         new_desc = self.map.desc.at[idx].set(
             jnp.where(gated[:, None], feats.desc, self.map.desc[idx])
         )
-        self.map = self.map.replace(desc=new_desc)
+        kf_id = jnp.int32(self.win_kf_id[slot])
+        new_obs = self.map.obs_count.at[idx].add(gated.astype(jnp.int32))
+        new_seen = self.map.last_seen.at[idx].set(
+            jnp.where(gated, kf_id, self.map.last_seen[idx])
+        )
+        self.map = self.map.replace(desc=new_desc, obs_count=new_obs,
+                                    last_seen=new_seen)
 
     def _local_ba(self):
         cfg = self.cfg.ba
@@ -387,6 +404,8 @@ class VisualOdometry:
             desc=self.map.desc.at[:n].set(self.kf0_feats.desc[jnp.asarray(sel)]),
             valid=self.map.valid.at[:n].set(True),
             anchor_kf=self.map.anchor_kf.at[:n].set(0),
+            obs_count=self.map.obs_count.at[:n].set(1),
+            last_seen=self.map.last_seen.at[:n].set(0),
         )
         # Keyframes: KF0 at identity, current at (R_rel, t_rel).
         R0, t0 = se3_identity()
@@ -436,9 +455,18 @@ class VisualOdometry:
         self.kf_feats = feats
         self.kf_pose = (self.R, self.t)
         self.kf_poses_log.append((kf_id, np.asarray(self.R), np.asarray(self.t)))
+        self._cull_landmarks(kf_id)
         self._local_ba()
         self.frames_since_kf = 0
         return int(n_new)
+
+    def _cull_landmarks(self, kf_id: int, max_age: int = 6, min_obs: int = 2):
+        """Invalidate landmarks that stayed single-observation for several
+        keyframes — they only consume capacity and matcher ambiguity
+        (reference roadmap item 'Cull unnecessary map points')."""
+        age = jnp.int32(kf_id) - self.map.last_seen
+        weak = (self.map.obs_count < min_obs) & (age > max_age)
+        self.map = self.map.replace(valid=self.map.valid & ~weak)
 
     # ---------------- per-frame ----------------
     def process(self, image) -> VOStats:

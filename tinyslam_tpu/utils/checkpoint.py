@@ -25,6 +25,8 @@ def _vo_state_pytree(vo) -> dict:
             "desc": vo.map.desc,
             "valid": vo.map.valid,
             "anchor_kf": vo.map.anchor_kf,
+            "obs_count": vo.map.obs_count,
+            "last_seen": vo.map.last_seen,
         },
         "window": {
             "R": vo.win_R,
@@ -70,6 +72,7 @@ def save_vo(vo, path) -> None:
         "frames_since_kf": vo.frames_since_kf,
         "initialized": vo.initialized,
         "has_kf_feats": vo.kf_feats is not None,
+        "frontend_threshold": vo.frontend._threshold,
         "trajectory": [
             [np.asarray(R).tolist(), np.asarray(t).tolist()]
             for R, t in vo.trajectory
@@ -94,6 +97,8 @@ def restore_vo(vo, path) -> None:
         desc=jnp.asarray(state["map"]["desc"]),
         valid=jnp.asarray(state["map"]["valid"]),
         anchor_kf=jnp.asarray(state["map"]["anchor_kf"]),
+        obs_count=jnp.asarray(state["map"]["obs_count"]),
+        last_seen=jnp.asarray(state["map"]["last_seen"]),
     )
     vo.win_R = jnp.asarray(state["window"]["R"])
     vo.win_t = jnp.asarray(state["window"]["t"])
@@ -122,6 +127,7 @@ def restore_vo(vo, path) -> None:
     vo.frame_idx = meta["frame_idx"]
     vo.frames_since_kf = meta["frames_since_kf"]
     vo.initialized = meta["initialized"]
+    vo.frontend._threshold = meta.get("frontend_threshold", vo.frontend._threshold)
     vo.trajectory = [
         (np.asarray(R, np.float32), np.asarray(t, np.float32))
         for R, t in meta["trajectory"]
