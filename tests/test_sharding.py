@@ -72,7 +72,8 @@ def test_frontend_dp_matches_per_frame(mesh):
     from tinyslam_tpu.frontend import OrbFrontend
 
     cfg = FrontendConfig(height=96, width=128, num_levels=2,
-                         features_per_level=64, threshold=0.1)
+                         features_per_level=64, threshold=0.1,
+                         adaptive_threshold=False)
     rng = np.random.default_rng(2)
     images = np.stack([
         dot_grid(96, 128, spacing=12 + i, offset=24) for i in range(4)
