@@ -97,7 +97,8 @@ class RansacConfig(_JsonMixin):
     """Batched-hypothesis RANSAC for two-view geometry."""
 
     num_hypotheses: int = 512      # all hypotheses solved in one batched SVD
-    sample_size: int = 8           # 8-point essential solver
+    sample_size: int = 5           # 5 = Nister minimal solver (geometry.fivepoint),
+                                   # 8 = linear 8-point (geometry.epipolar)
     inlier_threshold: float = 2e-3 # Sampson distance in normalized image coords
     refine_iters: int = 3          # IRLS refinement rounds on inliers
 

@@ -48,13 +48,23 @@ class TwoViewEstimator:
         x1 = self.camera.normalize(fa.xy)
         x2 = self.camera.normalize(fb.xy[m["idx_b"]])
         key_e, key_h = jax.random.split(key)
-        res_e = ransac_essential(
-            key_e, x1, x2, m["valid"],
-            inlier_threshold=self.ransac.inlier_threshold,
-            num_hypotheses=self.ransac.num_hypotheses,
-            sample_size=self.ransac.sample_size,
-            refine_iters=self.ransac.refine_iters,
-        )
+        if self.ransac.sample_size == 5:
+            from tinyslam_tpu.geometry.fivepoint import ransac_essential_5pt
+
+            res_e = ransac_essential_5pt(
+                key_e, x1, x2, m["valid"],
+                inlier_threshold=self.ransac.inlier_threshold,
+                num_hypotheses=self.ransac.num_hypotheses // 4,
+                refine_iters=self.ransac.refine_iters,
+            )
+        else:
+            res_e = ransac_essential(
+                key_e, x1, x2, m["valid"],
+                inlier_threshold=self.ransac.inlier_threshold,
+                num_hypotheses=self.ransac.num_hypotheses,
+                sample_size=self.ransac.sample_size,
+                refine_iters=self.ransac.refine_iters,
+            )
         res_h = ransac_homography(
             key_h, x1, x2, m["valid"],
             inlier_threshold=self.ransac.inlier_threshold,
