@@ -126,6 +126,7 @@ class VOConfig(_JsonMixin):
     pnp_inlier_px: float = 4.0     # reprojection inlier threshold (pixels)
     keyframe_min_inliers: int = 60     # below -> new keyframe
     keyframe_max_interval: int = 20    # frames
+    track_two_pass: bool = True        # re-match + re-optimize with refined pose
     min_parallax_deg: float = 1.5      # bootstrap/triangulation parallax gate
 
 

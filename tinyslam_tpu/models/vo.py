@@ -508,6 +508,24 @@ class VisualOdometry:
             self.camera, feats, self.map, idx, mvalid, R_pred, t_pred,
             iters=cfg.vo.pnp_iters, inlier_px=cfg.vo.pnp_inlier_px,
         )
+        if cfg.vo.track_two_pass and int(out["num_inliers"]) >= 15:
+            # Second pass (ORB-SLAM's track-local-map): with the refined
+            # pose, re-match under a tighter projection radius — recovers
+            # matches the coarse prediction radius missed or mis-assigned —
+            # and re-optimize.
+            idx2, mvalid2 = _match_to_map(
+                feats, self.map, cfg.matcher.max_distance, cfg.matcher.ratio,
+                cam=self.camera, R=out["R"], t=out["t"], radius_px=8.0,
+            )
+            if int(jnp.sum(mvalid2)) >= int(jnp.sum(mvalid)):
+                out2 = _track_pnp(
+                    self.camera, feats, self.map, idx2, mvalid2,
+                    out["R"], out["t"],
+                    iters=cfg.vo.pnp_iters, inlier_px=cfg.vo.pnp_inlier_px,
+                )
+                if int(out2["num_inliers"]) >= int(out["num_inliers"]):
+                    out = out2
+                    idx, mvalid = idx2, mvalid2
         n_in = int(out["num_inliers"])
         st.num_inliers = n_in
         st.rmse_px = float(out["rmse"])
