@@ -121,6 +121,32 @@ def brief_naive(blurred: np.ndarray, xy: np.ndarray, angle: np.ndarray,
     return out
 
 
+def brief_binned_naive(blurred: np.ndarray, xy: np.ndarray, angle: np.ndarray,
+                       valid: np.ndarray, bins: int = 32) -> np.ndarray:
+    """Golden quantized-orientation BRIEF: pattern pre-rotated by the bin
+    center, offsets rounded independently of the rounded feature center
+    (the semantics of ops.brief.brief_descriptors_binned)."""
+    n = xy.shape[0]
+    out = np.zeros((n, 8), np.uint32)
+    for i in range(n):
+        if not valid[i]:
+            continue
+        b = int(np.rint(angle[i] / (2 * np.pi / bins))) % bins
+        th = 2 * np.pi * b / bins
+        c, s = np.cos(th), np.sin(th)
+        cx = int(np.rint(xy[i, 0]))
+        cy = int(np.rint(xy[i, 1]))
+        for k in range(256):
+            (ax, ay), (bx, by) = BRIEF_PATTERN[k].astype(np.float64)
+            va = blurred[cy + int(np.rint(s * ax + c * ay)),
+                         cx + int(np.rint(c * ax - s * ay))]
+            vb = blurred[cy + int(np.rint(s * bx + c * by)),
+                         cx + int(np.rint(c * bx - s * by))]
+            if np.float32(va) - np.float32(vb) > 0:
+                out[i, k // 32] |= np.uint32(1) << np.uint32(k % 32)
+    return out
+
+
 def hamming_naive(da: np.ndarray, db: np.ndarray) -> np.ndarray:
     """(N, 8) x (M, 8) packed uint32 -> (N, M) popcount(xor) distances."""
     n, m = da.shape[0], db.shape[0]

@@ -69,3 +69,53 @@ def test_brief_rotation_steers_descriptor():
     # Perfect invariance is impossible with nearest sampling; require strong
     # agreement (random descriptors differ by ~128 bits).
     assert ham < 40, f"hamming {ham}"
+
+
+def test_brief_binned_matches_golden():
+    from tinyslam_tpu.ops.brief import brief_descriptors_binned
+    from tests.golden import brief_binned_naive
+
+    rng = np.random.default_rng(11)
+    img = rng.random((96, 128)).astype(np.float32)
+    n = 16
+    xy = np.stack(
+        [rng.integers(20, 108, n), rng.integers(20, 76, n)], axis=-1
+    ).astype(np.float32)
+    xy += rng.uniform(-0.4, 0.4, xy.shape).astype(np.float32)
+    angle = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[-3:] = False
+    got = np.asarray(brief_descriptors_binned(
+        jnp.asarray(img), jnp.asarray(xy), jnp.asarray(angle),
+        jnp.asarray(valid)))
+    want = brief_binned_naive(img, xy, angle, valid)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_brief_binned_close_to_continuous():
+    """Quantizing orientation to 11.25-degree bins must stay descriptor-
+    compatible with the continuous path: small Hamming distance between the
+    two encodings of the same feature."""
+    from tinyslam_tpu.ops.brief import brief_descriptors_binned
+    from tinyslam_tpu.ops.image import gaussian_blur
+    from tests.golden import hamming_naive
+
+    rng = np.random.default_rng(12)
+    img = np.asarray(gaussian_blur(jnp.asarray(
+        rng.random((96, 128)).astype(np.float32)), 2.0))
+    n = 24
+    xy = np.stack(
+        [rng.integers(21, 107, n), rng.integers(21, 75, n)], axis=-1
+    ).astype(np.float32)
+    angle = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    d_cont = np.asarray(brief_descriptors(
+        jnp.asarray(img), jnp.asarray(xy), jnp.asarray(angle),
+        jnp.asarray(valid)))
+    d_bin = np.asarray(brief_descriptors_binned(
+        jnp.asarray(img), jnp.asarray(xy), jnp.asarray(angle),
+        jnp.asarray(valid)))
+    dists = np.diagonal(hamming_naive(d_cont, d_bin))
+    # Same feature under the two encodings: far below the 64-bit match gate.
+    assert np.median(dists) <= 24, f"median {np.median(dists)}"
+    assert dists.mean() <= 32, f"mean {dists.mean()}"

@@ -75,6 +75,10 @@ class FrontendConfig(_JsonMixin):
     nms: bool = True               # 3x3 non-max suppression (reference has none)
     use_pallas: bool = True        # Pallas fused score kernel vs pure-XLA path
     interpolate_descriptors: bool = False  # nearest sampling, as reference brief.wgsl:57-60
+    brief_bins: int = 32           # orientation bins for the MXU-matmul BRIEF
+                                   # (0 = continuous-angle gather path).  ORB
+                                   # itself quantizes to 12-degree bins; 32
+                                   # bins = 11.25 degrees.
     adaptive_threshold: bool = True  # feedback controller on the FAST threshold
     target_fill: float = 0.75      # desired detected/capacity ratio
 

@@ -40,6 +40,8 @@ def extract_features(
     `threshold` is a traced argument — the reference's one runtime knob
     (orb.rs:585-589 set_threshold) without retracing.
     """
+    if image.dtype == jnp.uint8:
+        image = image.astype(jnp.float32) * (1.0 / 255.0)
     gray = rgb_to_gray(image) if image.ndim == 3 else image.astype(jnp.float32)
     levels, blurred = build_pyramid(gray, cfg.num_levels, cfg.blur_sigma)
 
@@ -63,13 +65,24 @@ def extract_features(
                 )
                 score = nms3x3(score_raw) if cfg.nms else score_raw
             sel = select_topk(score, score_raw, m10, m01, cfg.features_per_level)
-            desc = brief_descriptors(
-                blurred[lvl],
-                sel["xy"],
-                sel["angle"],
-                sel["valid"],
-                interpolate=cfg.interpolate_descriptors,
-            )
+            if cfg.brief_bins > 0 and not cfg.interpolate_descriptors:
+                from tinyslam_tpu.ops.brief import brief_descriptors_binned
+
+                desc = brief_descriptors_binned(
+                    blurred[lvl],
+                    sel["xy"],
+                    sel["angle"],
+                    sel["valid"],
+                    bins=cfg.brief_bins,
+                )
+            else:
+                desc = brief_descriptors(
+                    blurred[lvl],
+                    sel["xy"],
+                    sel["angle"],
+                    sel["valid"],
+                    interpolate=cfg.interpolate_descriptors,
+                )
             scale = jnp.float32(1 << lvl)
             parts.append(
                 Features(

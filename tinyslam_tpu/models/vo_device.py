@@ -1,0 +1,461 @@
+"""Device-resident visual odometry: the whole tracking loop as one scan.
+
+The host-driven `VisualOdometry` (models/vo.py) makes its data-dependent
+decisions between jitted stages — idiomatic, but every decision is a
+device->host scalar readback.  On real TPU deployments (and especially
+through a remote-dispatch relay) each readback costs ~10-25 ms, so a
+~12-readback frame loop is capped at a few fps no matter how fast the
+kernels are.  The reference has the same disease in miniature: one full
+CPU<->GPU round-trip per frame (reference src/orb.rs:541-547 submit +
+device.poll(Wait) + staging readback).
+
+This module is the TPU-native answer (SURVEY §3.2 note: "frames stay
+device-resident; only compact pose/feature summaries ever reach the host,
+asynchronously"):
+
+- ALL per-frame control flow — relocalization fallback, two-pass
+  track-local-map, pose acceptance, keyframe insertion, sliding-window BA,
+  landmark culling — is compiled into the step via `lax.cond`/`jnp.where`;
+- `lax.scan` runs a CHUNK of frames per dispatch;
+- the host reads back one packed (chunk, S) summary array per chunk and
+  uses it only for logging; nothing on the device ever waits for it.
+
+Semantics match models/vo.py step-for-step (the tests assert both track
+the same synthetic sequences); only the decision *mechanism* moves from
+Python `if` on readbacks to `lax.cond` on device scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tinyslam_tpu.config import SlamConfig
+from tinyslam_tpu.frontend.orb import extract_features
+from tinyslam_tpu.geometry.camera import PinholeCamera
+from tinyslam_tpu.geometry.se3 import (
+    se3_compose,
+    se3_exp,
+    se3_identity,
+    se3_inverse,
+    se3_log,
+)
+from tinyslam_tpu.models.vo import (
+    MapState,
+    VisualOdometry,
+    VOStats,
+    _match_to_map,
+    _record_obs,
+    _track_pnp,
+    _triangulate_and_insert,
+)
+from tinyslam_tpu.ops.hamming import match_descriptors
+from tinyslam_tpu.types import Features
+
+
+@struct.dataclass
+class VOState:
+    """Everything the tracker carries frame-to-frame, device-resident."""
+
+    map: MapState
+    win_R: jax.Array        # (K, 3, 3)
+    win_t: jax.Array        # (K, 3)
+    win_obs: jax.Array      # (K, M, 2)
+    win_mask: jax.Array     # (K, M)
+    win_valid: jax.Array    # (K,) bool
+    win_kf_id: jax.Array    # (K,) int32, -1 = free
+    kf_feats: Features      # latest keyframe's features
+    kf_R: jax.Array         # (3, 3) latest keyframe pose
+    kf_t: jax.Array         # (3,)
+    R: jax.Array            # (3, 3) current pose (world->camera)
+    t: jax.Array            # (3,)
+    vel_R: jax.Array        # (3, 3) constant-velocity model (frame-to-frame)
+    vel_t: jax.Array        # (3,)
+    num_keyframes: jax.Array    # () int32
+    frames_since_kf: jax.Array  # () int32
+    last_tracking: jax.Array    # () bool
+    threshold: jax.Array        # () float32 — adaptive FAST threshold
+
+
+# Packed per-frame summary layout (float32): keep in sync with VOStats use.
+SUMMARY_FIELDS = (
+    "num_features", "num_matches", "num_inliers", "tracking",
+    "is_keyframe", "num_landmarks", "rmse_px", "threshold",
+)
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(
+        jnp.reshape(pred, (1,) * x.ndim), x, y), a, b)
+
+
+def _newest_slot(win_kf_id: jax.Array) -> jax.Array:
+    return jnp.argmax(win_kf_id)
+
+
+def _record_kf_obs(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
+                   slot: jax.Array, feats: Features) -> VOState:
+    """Device analog of VisualOdometry._record_kf_observations: match the
+    keyframe's features to the map, gate by reprojection, store window
+    observations, refresh descriptors / obs_count / last_seen."""
+    idx, mvalid = _match_to_map(
+        feats, state.map, cfg.matcher.max_distance, cfg.matcher.ratio,
+        cam=cam, R=state.win_R[slot], t=state.win_t[slot],
+    )
+    win_obs, win_mask, gated = _record_obs(
+        state.win_obs, state.win_mask, slot.astype(jnp.int32), idx,
+        feats.xy, mvalid,
+        cam=cam, map_X=state.map.X, R=state.win_R[slot], t=state.win_t[slot],
+    )
+    m = state.map
+    new_desc = m.desc.at[idx].set(
+        jnp.where(gated[:, None], feats.desc, m.desc[idx]))
+    kf_id = state.win_kf_id[slot]
+    new_obs = m.obs_count.at[idx].add(gated.astype(jnp.int32))
+    new_seen = m.last_seen.at[idx].set(jnp.where(gated, kf_id, m.last_seen[idx]))
+    return state.replace(
+        win_obs=win_obs, win_mask=win_mask,
+        map=m.replace(desc=new_desc, obs_count=new_obs, last_seen=new_seen),
+    )
+
+
+def _push_keyframe(state: VOState, R, t, kf_id) -> tuple[VOState, jax.Array]:
+    """Device analog of VisualOdometry._push_keyframe: roll the window when
+    full (slot order = age), else take the first free slot."""
+    K = state.win_valid.shape[0]
+    full = jnp.all(state.win_valid)
+
+    def rolled(x):
+        return jnp.roll(x, -1, axis=0)
+
+    win_R = jnp.where(full, rolled(state.win_R), state.win_R)
+    win_t = jnp.where(full, rolled(state.win_t), state.win_t)
+    win_obs = jnp.where(full, rolled(state.win_obs), state.win_obs)
+    win_mask = jnp.where(full, rolled(state.win_mask), state.win_mask)
+    win_valid = jnp.where(full, rolled(state.win_valid), state.win_valid)
+    win_kf_id = jnp.where(full, rolled(state.win_kf_id), state.win_kf_id)
+
+    slot = jnp.where(full, K - 1, jnp.argmin(win_valid))
+    win_R = win_R.at[slot].set(R)
+    win_t = win_t.at[slot].set(t)
+    win_obs = win_obs.at[slot].set(0.0)
+    win_mask = win_mask.at[slot].set(False)
+    win_valid = win_valid.at[slot].set(True)
+    win_kf_id = win_kf_id.at[slot].set(kf_id)
+    return state.replace(
+        win_R=win_R, win_t=win_t, win_obs=win_obs, win_mask=win_mask,
+        win_valid=win_valid, win_kf_id=win_kf_id,
+    ), slot
+
+
+def _local_ba(cam: PinholeCamera, cfg: SlamConfig, state: VOState) -> VOState:
+    """Device analog of VisualOdometry._local_ba (skip handled by caller's
+    cond on >= 3 valid keyframes)."""
+    from tinyslam_tpu.backend.ba import bundle_adjust
+
+    K = cfg.ba.max_keyframes
+    pose_free = state.win_valid & (jnp.arange(K) >= 2)
+    z = jnp.swapaxes(state.win_obs, 0, 1)            # (M, K, 2)
+    mask = jnp.swapaxes(state.win_mask, 0, 1) & state.win_valid[None, :]
+    multi_obs = jnp.sum(mask.astype(jnp.int32), axis=1) >= 2
+    out = bundle_adjust(
+        cam, state.win_R, state.win_t, state.map.X, z, mask,
+        pose_free, point_valid=state.map.valid & multi_obs,
+        max_iters=cfg.ba.max_iters, huber=cfg.ba.huber_delta,
+        lam0=cfg.ba.damping_init, lam_up=cfg.ba.damping_up,
+        lam_down=cfg.ba.damping_down,
+    )
+    newest = _newest_slot(state.win_kf_id)
+    R_new, t_new = out["R"][newest], out["t"][newest]
+    return state.replace(
+        win_R=out["R"], win_t=out["t"], map=state.map.replace(X=out["X"]),
+        R=R_new, t=t_new, kf_R=R_new, kf_t=t_new,
+    )
+
+
+def _cull_landmarks(state: VOState, kf_id, max_age: int = 6,
+                    min_obs: int = 2) -> VOState:
+    age = kf_id - state.map.last_seen
+    weak = (state.map.obs_count < min_obs) & (age > max_age)
+    return state.replace(map=state.map.replace(valid=state.map.valid & ~weak))
+
+
+def _insert_keyframe(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
+                     feats: Features, match_valid, inliers) -> VOState:
+    """Device analog of VisualOdometry._insert_keyframe."""
+    kf_id = state.num_keyframes
+    already = match_valid & inliers
+    m = match_descriptors(
+        feats.desc, feats.valid, state.kf_feats.desc, state.kf_feats.valid,
+        max_distance=cfg.matcher.max_distance, ratio=cfg.matcher.ratio,
+        cross_check=True,
+    )
+    new_map, _ = _triangulate_and_insert(
+        cam, state.map, kf_id,
+        state.R, state.t, feats,
+        state.kf_R, state.kf_t, state.kf_feats,
+        m["idx_b"], m["valid"], already,
+        max_new=cfg.frontend.features_per_level,
+    )
+    state = state.replace(map=new_map)
+    # Second-view registration for the just-triangulated landmarks.
+    prev_slot = _newest_slot(state.win_kf_id)
+    state = _record_kf_obs(cam, cfg, state, prev_slot, state.kf_feats)
+    state, slot = _push_keyframe(state, state.R, state.t, kf_id)
+    state = _record_kf_obs(cam, cfg, state, slot, feats)
+    state = state.replace(
+        kf_feats=feats, kf_R=state.R, kf_t=state.t,
+        num_keyframes=kf_id + 1, frames_since_kf=jnp.int32(0),
+    )
+    state = _cull_landmarks(state, kf_id)
+    n_valid = jnp.sum(state.win_valid.astype(jnp.int32))
+    return jax.lax.cond(
+        n_valid >= 3, lambda s: _local_ba(cam, cfg, s), lambda s: s, state)
+
+
+def track_step(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
+               image: jax.Array) -> tuple[VOState, dict]:
+    """One tracked frame, entirely on device.  Mirrors the tracking section
+    of VisualOdometry.process (models/vo.py) decision-for-decision.
+
+    `image` may be float in [0, 1] or uint8 — camera frames should be
+    shipped host->device as uint8 (4x less PCIe/ICI traffic) and normalized
+    here, on device."""
+    if image.dtype == jnp.uint8:
+        image = image.astype(jnp.float32) * (1.0 / 255.0)
+    feats = extract_features(image, state.threshold, cfg.frontend)
+
+    # Adaptive FAST threshold (OrbFrontend controller, device-side).
+    if cfg.frontend.adaptive_threshold:
+        fill = feats.count.astype(jnp.float32) / feats.capacity
+        target = cfg.frontend.target_fill
+        th = state.threshold
+        th = jnp.where(fill > min(0.99, target * 1.2),
+                       jnp.minimum(th * 1.1, 0.5), th)
+        th = jnp.where(fill < target * 0.8, jnp.maximum(th * 0.9, 0.01), th)
+        state = state.replace(threshold=th)
+
+    R_pred, t_pred = se3_compose(state.vel_R, state.vel_t, state.R, state.t)
+
+    # Guided matching against the predicted pose; GLOBAL matching (for
+    # relocalization) if the last frame was lost.
+    def guided(_):
+        return _match_to_map(
+            feats, state.map, cfg.matcher.max_distance, cfg.matcher.ratio,
+            cam=cam, R=R_pred, t=t_pred)
+
+    def global_(_):
+        return _match_to_map(
+            feats, state.map, cfg.matcher.max_distance, cfg.matcher.ratio)
+
+    idx, mvalid = jax.lax.cond(state.last_tracking, guided, global_, None)
+    out = _track_pnp(cam, feats, state.map, idx, mvalid, R_pred, t_pred,
+                     iters=cfg.vo.pnp_iters, inlier_px=cfg.vo.pnp_inlier_px)
+
+    if cfg.vo.track_two_pass:
+        def second_pass(args):
+            idx, mvalid, out = args
+            idx2, mvalid2 = _match_to_map(
+                feats, state.map, cfg.matcher.max_distance, cfg.matcher.ratio,
+                cam=cam, R=out["R"], t=out["t"], radius_px=8.0)
+            out2 = _track_pnp(cam, feats, state.map, idx2, mvalid2,
+                              out["R"], out["t"],
+                              iters=cfg.vo.pnp_iters,
+                              inlier_px=cfg.vo.pnp_inlier_px)
+            better = (jnp.sum(mvalid2) >= jnp.sum(mvalid)) & (
+                out2["num_inliers"] >= out["num_inliers"])
+            return _tree_where(better, (idx2, mvalid2, out2),
+                               (idx, mvalid, out))
+
+        idx, mvalid, out = jax.lax.cond(
+            out["num_inliers"] >= 15, second_pass, lambda a: a,
+            (idx, mvalid, out))
+
+    n_in = out["num_inliers"]
+    pose_finite = (jnp.all(jnp.isfinite(out["R"]))
+                   & jnp.all(jnp.isfinite(out["t"])))
+    tracking = (n_in >= 20) & pose_finite & (
+        out["rmse"] < 3.0 * cfg.vo.pnp_inlier_px)
+
+    # Accept: update pose + low-passed constant-velocity model.
+    Ri, ti = se3_inverse(state.R, state.t)
+    Rv_new, tv_new = se3_compose(out["R"], out["t"], Ri, ti)
+    xi = 0.6 * se3_log(Rv_new, tv_new) + 0.4 * se3_log(state.vel_R, state.vel_t)
+    vel_R_acc, vel_t_acc = se3_exp(xi)
+    vel_id_R, vel_id_t = se3_identity()
+    state = state.replace(
+        R=jnp.where(tracking, out["R"], state.R),
+        t=jnp.where(tracking, out["t"], state.t),
+        vel_R=jnp.where(tracking, vel_R_acc, vel_id_R),
+        vel_t=jnp.where(tracking, vel_t_acc, vel_id_t),
+        last_tracking=tracking,
+        frames_since_kf=state.frames_since_kf + 1,
+    )
+
+    need_kf = tracking & (
+        (n_in < cfg.vo.keyframe_min_inliers)
+        | (state.frames_since_kf >= cfg.vo.keyframe_max_interval))
+    state = jax.lax.cond(
+        need_kf,
+        lambda s: _insert_keyframe(cam, cfg, s, feats, mvalid, out["inliers"]),
+        lambda s: s,
+        state)
+
+    summary = jnp.stack([
+        feats.count.astype(jnp.float32),
+        jnp.sum(mvalid).astype(jnp.float32),
+        n_in.astype(jnp.float32),
+        tracking.astype(jnp.float32),
+        need_kf.astype(jnp.float32),
+        jnp.sum(state.map.valid).astype(jnp.float32),
+        out["rmse"],
+        state.threshold,
+    ])
+    return state, {"R": state.R, "t": state.t, "summary": summary}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_chunk(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
+                images: jax.Array, active: jax.Array):
+    """Track a (B, H, W) chunk of frames in ONE dispatch.
+
+    `active` (B,) bool masks padding frames at the tail of a sequence:
+    an inactive step is an identity on the carry (the whole point of the
+    fixed chunk size is one compiled executable for any sequence length).
+    """
+
+    def step(state, xs):
+        image, act = xs
+        new_state, ys = jax.lax.cond(
+            act,
+            lambda s: track_step(cam, cfg, s, image),
+            lambda s: (s, {"R": s.R, "t": s.t,
+                           "summary": jnp.zeros((len(SUMMARY_FIELDS),),
+                                                jnp.float32)}),
+            state)
+        return new_state, ys
+
+    return jax.lax.scan(step, state, (images, active))
+
+
+@dataclass
+class DeviceVO:
+    """Host shell around the device-resident tracker.
+
+    Bootstrap (two-view initialization) is rare, host-decision-heavy and
+    latency-irrelevant, so it reuses the host-driven VisualOdometry; once
+    the map exists, tracking switches to chunked on-device scans.
+
+    Usage::
+
+        vo = DeviceVO(cfg, camera, chunk=16)
+        for frame in frames:
+            vo.process(frame)      # buffered; dispatched per chunk
+        vo.flush()
+        traj = vo.positions        # (T, 3) camera centers
+    """
+
+    cfg: SlamConfig
+    camera: PinholeCamera
+    chunk: int = 16
+
+    def __post_init__(self):
+        if not isinstance(self.cfg, SlamConfig):
+            raise TypeError("cfg must be a SlamConfig")
+        self._host = VisualOdometry(self.cfg, self.camera)
+        self.state: VOState | None = None
+        self._buf: list[jax.Array] = []
+        self._pending: list[tuple[int, dict]] = []  # (n_active, lazy ys)
+        self.trajectory: list[tuple[np.ndarray, np.ndarray]] = []
+        self.stats: list[VOStats] = []
+        self._frame_idx = -1
+
+    # -------- bootstrap state handoff --------
+    def _lift_state(self) -> VOState:
+        h = self._host
+        return VOState(
+            map=h.map,
+            win_R=h.win_R, win_t=h.win_t,
+            win_obs=h.win_obs, win_mask=h.win_mask,
+            win_valid=jnp.asarray(h.win_valid),
+            win_kf_id=jnp.asarray(h.win_kf_id, jnp.int32),
+            kf_feats=h.kf_feats,
+            kf_R=h.kf_pose[0], kf_t=h.kf_pose[1],
+            R=h.R, t=h.t,
+            vel_R=h.vel[0], vel_t=h.vel[1],
+            num_keyframes=jnp.int32(h.num_keyframes),
+            frames_since_kf=jnp.int32(h.frames_since_kf),
+            last_tracking=jnp.asarray(
+                bool(h.stats[-1].tracking) if h.stats else True),
+            threshold=jnp.float32(h.frontend._threshold),
+        )
+
+    # -------- frame ingestion --------
+    def process(self, image) -> None:
+        """Queue one frame.  Until bootstrap completes this runs the host
+        path synchronously; afterwards frames are buffered and tracked in
+        device chunks (use flush() to force out a partial chunk)."""
+        self._frame_idx += 1
+        if self.state is None:
+            st = self._host.process(image)
+            self.trajectory.append(self._host.trajectory[-1])
+            self.stats.append(st)
+            if self._host.initialized:
+                self.state = self._lift_state()
+            return
+        self._buf.append(jnp.asarray(image))
+        if len(self._buf) >= self.chunk:
+            self._dispatch()
+
+    def _dispatch(self):
+        n = len(self._buf)
+        if n == 0:
+            return
+        B = self.chunk
+        images = jnp.stack(self._buf + [self._buf[-1]] * (B - n))
+        active = jnp.asarray([True] * n + [False] * (B - n))
+        self._buf = []
+        self.state, ys = track_chunk(self.camera, self.cfg, self.state,
+                                     images, active)
+        self._pending.append((n, ys))  # lazy: no readback here
+
+    def flush(self):
+        """Dispatch any partial chunk and materialize all pending summaries
+        (the ONLY device->host synchronization point)."""
+        self._dispatch()
+        for n, ys in self._pending:
+            R = np.asarray(ys["R"][:n])
+            t = np.asarray(ys["t"][:n])
+            s = np.asarray(ys["summary"][:n])
+            base = len(self.stats)
+            for i in range(n):
+                self.trajectory.append((R[i], t[i]))
+                self.stats.append(VOStats(
+                    frame=base + i,
+                    num_features=int(s[i, 0]), num_matches=int(s[i, 1]),
+                    num_inliers=int(s[i, 2]), tracking=bool(s[i, 3]),
+                    is_keyframe=bool(s[i, 4]), num_landmarks=int(s[i, 5]),
+                    rmse_px=float(s[i, 6]),
+                ))
+        self._pending = []
+
+    def run(self, images) -> list[VOStats]:
+        for im in images:
+            self.process(im)
+        self.flush()
+        return self.stats
+
+    @property
+    def initialized(self) -> bool:
+        return self.state is not None
+
+    @property
+    def positions(self) -> np.ndarray:
+        """Camera centers (world frame); call flush() first."""
+        out = [-R.T @ t for R, t in self.trajectory]
+        return np.asarray(out)

@@ -26,5 +26,9 @@ from tinyslam_tpu.ops.fast import (  # noqa: F401
     fast_score_map,
 )
 from tinyslam_tpu.ops.compact import select_topk  # noqa: F401
-from tinyslam_tpu.ops.brief import brief_descriptors, BRIEF_PATTERN  # noqa: F401
+from tinyslam_tpu.ops.brief import (  # noqa: F401
+    BRIEF_PATTERN,
+    brief_descriptors,
+    brief_descriptors_binned,
+)
 from tinyslam_tpu.ops.hamming import hamming_distance_matrix, match_descriptors  # noqa: F401

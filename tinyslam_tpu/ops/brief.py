@@ -45,6 +45,109 @@ def _make_pattern(num_pairs: int = 256, seed: int = 7) -> np.ndarray:
 
 BRIEF_PATTERN: np.ndarray = _make_pattern()
 
+# Rotated-pattern reach: |R(theta) p|_inf <= |p|_2 <= 13*sqrt(2) < 19.
+PATCH_REACH = 19
+PATCH_SIDE = 2 * PATCH_REACH + 2   # 40: even side keeps shapes MXU-friendly
+
+
+@functools.lru_cache(maxsize=4)
+def _binned_tables(bins: int) -> np.ndarray:
+    """(PATCH_SIDE^2, bins*256) float32 difference-selection matrix.
+
+    Column (a*256 + j) holds +1 at the flattened in-patch offset of pattern
+    point ``j.a`` rotated by bin angle ``2*pi*a/bins`` and -1 at point
+    ``j.b``'s offset, so ``patch_flat @ D`` yields every bin's 256 intensity
+    differences in one MXU matmul.  (+1)+(-1) can land on the same cell for
+    near-degenerate rotated pairs; the sum (0 -> bit=0) is the right
+    semantics.
+    """
+    pat = BRIEF_PATTERN.astype(np.float64)               # (256, 2, 2)
+    ps = PATCH_SIDE
+    D = np.zeros((ps * ps, bins * 256), np.float32)
+    for a in range(bins):
+        th = 2.0 * np.pi * a / bins
+        c, s = np.cos(th), np.sin(th)
+        for j in range(256):
+            for k, sign in ((0, 1.0), (1, -1.0)):
+                px, py = pat[j, k]
+                ox = int(np.rint(c * px - s * py))
+                oy = int(np.rint(s * px + c * py))
+                D[(oy + PATCH_REACH) * ps + (ox + PATCH_REACH),
+                  a * 256 + j] += sign
+    return D
+
+
+@functools.partial(jax.jit, static_argnames=("bins",))
+def brief_descriptors_binned(
+    blurred: jax.Array,
+    xy: jax.Array,
+    angle: jax.Array,
+    valid: jax.Array,
+    bins: int = 32,
+) -> jax.Array:
+    """Steered BRIEF-256 with quantized orientation, MXU-formulated.
+
+    The continuous-angle path (brief_descriptors) needs 512 data-dependent
+    image gathers per feature — the one memory-irregular op in the front
+    end, and gathers are the slowest primitive on TPU (SURVEY §7 hard part
+    3).  This path removes per-bit gathers entirely:
+
+      1. orientation is quantized to ``bins`` (ORB itself uses 12-degree
+         bins for its rotated pattern; 32 bins is finer);
+      2. a 40x40 patch around each feature is extracted with a row gather
+         (major-axis, large contiguous slices) plus a one-hot column-select
+         einsum — both MXU/VPU-shaped, no scalar gathers;
+      3. all ``bins * 256`` rotated pair differences per feature come from
+         ONE (N, 1600) x (1600, bins*256) f32 matmul against a constant
+         +-1 table (exact: each output is va - vb in f32), and the
+         feature's bin is selected with a one-hot contraction.
+
+    Equivalent to brief_descriptors with the pattern pre-rotated by the
+    bin center and offsets rounded before (not after) adding the rounded
+    feature position.  Requires features >= PATCH_REACH+1 px from the
+    border (FrontendConfig.border = 20 guarantees it); invalid slots are
+    zeroed, out-of-range xy values clamp harmlessly into range.
+
+    Returns: (N, 8) uint32 packed descriptors.
+    """
+    h, w = blurred.shape
+    n = xy.shape[0]
+    ps = PATCH_SIDE
+    D = jnp.asarray(_binned_tables(bins))                # (ps*ps, bins*256)
+
+    center = jnp.rint(xy).astype(jnp.int32)              # (N, 2)
+    base = center - PATCH_REACH                          # patch top-left
+    bx = jnp.clip(base[:, 0], 0, w - ps)
+    by = jnp.clip(base[:, 1], 0, h - ps)
+
+    # Row gather: (N*ps, w) large contiguous slices along the major axis.
+    rows = blurred[(by[:, None] + jnp.arange(ps)[None, :]).reshape(-1)]
+    rows = rows.reshape(n, ps, w)
+    # Column select as a one-hot einsum (MXU) — f32 so each patch value is
+    # exact (a one-hot dot is a copy).
+    col_onehot = jax.nn.one_hot(
+        bx[:, None] + jnp.arange(ps)[None, :], w, dtype=jnp.float32)
+    patches = jnp.einsum(
+        "nrw,ncw->nrc", rows, col_onehot,
+        preferred_element_type=jnp.float32)              # (N, ps, ps)
+
+    diff = jax.lax.dot_general(
+        patches.reshape(n, ps * ps), D,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (N, bins*256)
+    bits_all = (diff > 0).reshape(n, bins, 256)
+
+    two_pi = 2.0 * np.pi
+    bin_idx = jnp.round(angle / (two_pi / bins)).astype(jnp.int32) % bins
+    bin_onehot = jax.nn.one_hot(bin_idx, bins, dtype=jnp.float32)  # (N, bins)
+    bits = jnp.einsum(
+        "nab,na->nb", bits_all.astype(jnp.float32), bin_onehot) > 0.5
+
+    words = bits.reshape(-1, 8, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    desc = jnp.sum(words << shifts, axis=-1, dtype=jnp.uint32)
+    return jnp.where(valid[:, None], desc, jnp.uint32(0))
+
 
 @functools.partial(jax.jit, static_argnames=("interpolate",))
 def brief_descriptors(
