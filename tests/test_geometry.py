@@ -139,3 +139,28 @@ def test_pnp_robust_to_outliers():
     cos = (np.trace(R_est @ R_gt.T) - 1) / 2
     assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 0.3
     assert np.linalg.norm(t_est - t_gt) < 0.03
+
+
+def test_pnp_ransac_recovers_without_prior():
+    """Relocalization: absolute pose from scratch (no initial guess), with
+    30% wrong correspondences — the case GN-only pnp_refine cannot solve."""
+    from tinyslam_tpu.geometry.pnp import pnp_ransac
+
+    rng = np.random.default_rng(5)
+    cam = default_camera()
+    X = random_points(rng, 200, center=(0, 0, 4), extent=(4, 3, 2))
+    R_gt, t_gt = look_at(np.array([1.5, -0.8, -2.0]), np.array([0.0, 0.0, 4.0]))
+    uv, vis = project_points(cam, R_gt, t_gt, X)
+    uv = uv + rng.normal(0, 0.4, uv.shape)
+    # 30% outliers: scramble their pixels.
+    n_out = 60
+    out_idx = rng.choice(200, n_out, replace=False)
+    uv[out_idx] = rng.uniform(0, 480, (n_out, 2))
+    out = pnp_ransac(
+        cam, jnp.asarray(X, jnp.float32), jnp.asarray(uv, jnp.float32),
+        jnp.asarray(vis), jax.random.PRNGKey(0),
+    )
+    R_est, t_est = np.asarray(out["R"]), np.asarray(out["t"])
+    assert np.linalg.norm(R_est - R_gt) < 0.02, np.linalg.norm(R_est - R_gt)
+    assert np.linalg.norm(t_est - t_gt) < 0.05, np.linalg.norm(t_est - t_gt)
+    assert int(out["num_inliers"]) > 110

@@ -130,6 +130,14 @@ class VOConfig(_JsonMixin):
     pnp_inlier_px: float = 4.0     # reprojection inlier threshold (pixels)
     keyframe_min_inliers: int = 60     # below -> new keyframe
     keyframe_max_interval: int = 20    # frames
+    keyframe_min_interval: int = 3     # min frames between keyframes: back-to-
+                                       # back keyframes have ~zero baseline, so
+                                       # triangulation rejects everything and
+                                       # the map starves while the window
+                                       # churns (ORB-SLAM has the same gate)
+    keyframe_critical_inliers: int = 30  # below -> keyframe NOW, interval or not
+    reloc_hypotheses: int = 128        # PnP-RANSAC hypotheses when tracking
+                                       # is lost (absolute pose, no prior)
     track_two_pass: bool = True        # re-match + re-optimize with refined pose
     min_parallax_deg: float = 1.5      # bootstrap/triangulation parallax gate
 

@@ -117,3 +117,97 @@ def pnp_refine(
     rmse = jnp.sqrt(jnp.sum(jnp.where(inliers, err * err, 0.0)) / n_in)
     return {"R": R, "t": t, "inliers": inliers, "rmse": rmse,
             "num_inliers": jnp.sum(inliers.astype(jnp.int32))}
+
+
+def _dlt_pose(cam: PinholeCamera, X: jax.Array, uv: jax.Array,
+              w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Weighted DLT absolute pose from >= 6 3D-2D matches.
+
+    Builds the 2n x 12 homogeneous system for P = [R|t] in NORMALIZED image
+    coords, solves via the smallest eigenvector of the 12x12 normal matrix
+    (eigh — symmetric, so it stays fast on TPU, unlike nonsymmetric
+    eigen/quartic solvers), then projects the 3x3 block onto SO(3) with a
+    3x3 SVD and fixes scale/chirality by the depth sign.
+
+    Args: X (N, 3), uv (N, 2) pixels, w (N,) weights (0 disables a row).
+    Returns (R, t).  Degenerate inputs yield garbage poses — callers score
+    hypotheses by inlier count, so bad samples lose the vote (RANSAC).
+    """
+    x = (uv[:, 0] - cam.cx) / cam.fx
+    y = (uv[:, 1] - cam.cy) / cam.fy
+    n = X.shape[0]
+    zeros = jnp.zeros((n, 4), X.dtype)
+    Xh = jnp.concatenate([X, jnp.ones((n, 1), X.dtype)], axis=1)   # (N, 4)
+    rows_u = jnp.concatenate([Xh, zeros, -x[:, None] * Xh], axis=1)
+    rows_v = jnp.concatenate([zeros, Xh, -y[:, None] * Xh], axis=1)
+    A = jnp.concatenate([rows_u * w[:, None], rows_v * w[:, None]], axis=0)
+    M = A.T @ A                                                    # (12, 12)
+    _, vecs = jnp.linalg.eigh(M)
+    p = vecs[:, 0].reshape(3, 4)                                   # smallest
+    Rp, tp = p[:, :3], p[:, 3]
+    # Scale: ||R|| should have unit singular values.
+    U, s, Vt = jnp.linalg.svd(Rp)
+    R = U @ Vt
+    detR = jnp.linalg.det(R)
+    R = R * detR                                 # det +1 (flips sign if -1)
+    # The det factor also absorbs the +-p null-vector sign: Rp = lam*R_true
+    # with lam of either sign; det(U Vt) = sign(lam), so R is always the
+    # true rotation and scale = det * 3/sum(s) = 1/lam recovers t exactly.
+    scale = detR * 3.0 / jnp.maximum(jnp.sum(s), 1e-12)
+    t = tp * scale
+    return R, t
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "sample_size",
+                                              "refine_iters"))
+def pnp_ransac(
+    cam: PinholeCamera,
+    X: jax.Array,
+    uv: jax.Array,
+    valid: jax.Array,
+    key: jax.Array,
+    num_hypotheses: int = 128,
+    sample_size: int = 8,
+    inlier_px: float = 6.0,
+    refine_iters: int = 8,
+) -> dict[str, jax.Array]:
+    """Absolute-pose RANSAC: batched DLT hypotheses, inlier vote, GN polish.
+
+    The relocalization initializer (no pose prior — pnp_refine alone is a
+    LOCAL method and cannot recover from a stale pose).  All hypotheses are
+    solved in one vmap — RANSAC as a batch, not a loop (SURVEY §7: batched
+    hypotheses are the TPU shape of RANSAC).
+
+    Returns dict with R, t, inliers (N,), num_inliers, rmse.
+    """
+    n = X.shape[0]
+    vf = valid.astype(X.dtype)
+    # Importance-free sampling with invalid entries pushed out by weighting:
+    # sample indices proportional to validity.
+    logits = jnp.where(valid, 0.0, -1e9)
+    idx = jax.random.categorical(
+        key, logits[None, :], axis=-1,
+        shape=(num_hypotheses, sample_size))           # (H, S)
+
+    def hyp(sample_idx):
+        w = jnp.zeros((n,), X.dtype).at[sample_idx].add(1.0) * vf
+        return _dlt_pose(cam, X, uv, w)
+
+    Rs, ts = jax.vmap(hyp)(idx)                        # (H, 3, 3), (H, 3)
+
+    def score(R, t):
+        pc = X @ R.T + t
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / z + cam.cx
+        v = cam.fy * pc[:, 1] / z + cam.cy
+        err = jnp.linalg.norm(jnp.stack([u, v], -1) - uv, axis=-1)
+        inl = valid & (pc[:, 2] > 1e-4) & (err < inlier_px)
+        return jnp.sum(inl.astype(jnp.int32))
+
+    votes = jax.vmap(score)(Rs, ts)                    # (H,)
+    best = jnp.argmax(votes)
+    R0, t0 = Rs[best], ts[best]
+    out = pnp_refine(cam, X, uv, valid, R0, t0,
+                     iters=refine_iters, inlier_px=inlier_px)
+    out["hypothesis_inliers"] = votes[best]
+    return out

@@ -260,6 +260,7 @@ class VisualOdometry:
         self.win_mask = jnp.zeros((K, M), bool)
         self.win_valid = np.zeros(K, bool)
         self.win_kf_id = np.full(K, -1, np.int64)
+        self.win_feats: list[Features | None] = [None] * K  # per-slot features
         self.kf_feats: Features | None = None   # latest keyframe features
         self.kf_pose = se3_identity()
         self.kf0_feats: Features | None = None  # bootstrap reference
@@ -285,6 +286,7 @@ class VisualOdometry:
             self.win_mask = jnp.roll(self.win_mask, -1, axis=0)
             self.win_valid = np.roll(self.win_valid, -1)
             self.win_kf_id = np.roll(self.win_kf_id, -1)
+            self.win_feats = self.win_feats[1:] + [None]
             slot = K - 1
         else:
             slot = int(np.argmin(self.win_valid))  # first free slot
@@ -294,6 +296,7 @@ class VisualOdometry:
         self.win_mask = self.win_mask.at[slot].set(False)
         self.win_valid[slot] = True
         self.win_kf_id[slot] = kf_id
+        self.win_feats[slot] = feats
         return slot
 
     def _record_kf_observations(self, slot: int, feats: Features):
@@ -426,30 +429,60 @@ class VisualOdometry:
         return True
 
     # ---------------- keyframe insertion ----------------
+    def _best_baseline_slot(self) -> int | None:
+        """Window slot with the largest camera-center distance to the
+        current pose: back-to-back keyframes have ~zero baseline (their
+        triangulations all fail the parallax gate), so new map points must
+        come from the widest pair the window still holds."""
+        valid = np.nonzero(self.win_valid)[0]
+        if len(valid) == 0:
+            return None
+        C_cur = np.asarray(-self.R.T @ self.t)
+        best, best_d = None, -1.0
+        for s in valid:
+            if self.win_feats[s] is None:
+                continue
+            R_s = np.asarray(self.win_R[s])
+            t_s = np.asarray(self.win_t[s])
+            d = float(np.linalg.norm(-R_s.T @ t_s - C_cur))
+            if d > best_d:
+                best, best_d = int(s), d
+        return best
+
     def _insert_keyframe(self, feats: Features, map_idx, match_valid, inliers):
         kf_id = self.num_keyframes
         self.num_keyframes += 1
-        R_b, t_b = self.kf_pose
         already = match_valid & inliers               # features with landmarks
-        # Match current KF features against the previous KF for new points.
-        m = match_descriptors(
-            feats.desc, feats.valid, self.kf_feats.desc, self.kf_feats.valid,
-            max_distance=self.cfg.matcher.max_distance,
-            ratio=self.cfg.matcher.ratio, cross_check=True,
-        )
-        self.map, n_new = _triangulate_and_insert(
-            self.camera, self.map, jnp.int32(kf_id),
-            self.R, self.t, feats,
-            R_b, t_b, self.kf_feats,
-            m["idx_b"], m["valid"], already,
-            max_new=self.cfg.frontend.features_per_level,
-        )
-        # Re-record the PREVIOUS keyframe's observations so the landmarks
-        # just triangulated get their second view registered (they were not
-        # in the map when that slot was first recorded).
-        prev_slot = int(np.nonzero(self.win_valid)[0].max()) if self.win_valid.any() else None
-        if prev_slot is not None:
-            self._record_kf_observations(prev_slot, self.kf_feats)
+        # Dual-reference triangulation: the previous keyframe (matches best,
+        # small baseline) AND the widest-baseline window keyframe
+        # (triangulates best, matches worst); the parallax/reprojection
+        # gates keep whichever pairs are well-conditioned.
+        newest = (int(np.nonzero(self.win_valid)[0].max())
+                  if self.win_valid.any() else None)
+        refs = []
+        for r in (newest, self._best_baseline_slot()):
+            if r is not None and r not in refs and self.win_feats[r] is not None:
+                refs.append(r)
+        n_new = 0
+        for ref in refs:
+            ref_feats = self.win_feats[ref]
+            R_b, t_b = self.win_R[ref], self.win_t[ref]
+            m = match_descriptors(
+                feats.desc, feats.valid, ref_feats.desc, ref_feats.valid,
+                max_distance=self.cfg.matcher.max_distance,
+                ratio=self.cfg.matcher.ratio, cross_check=True,
+            )
+            self.map, n_ins = _triangulate_and_insert(
+                self.camera, self.map, jnp.int32(kf_id),
+                self.R, self.t, feats,
+                R_b, t_b, ref_feats,
+                m["idx_b"], m["valid"], already,
+                max_new=self.cfg.frontend.features_per_level,
+            )
+            n_new += int(n_ins)
+            # Re-record the partner's observations so the landmarks just
+            # created get their second view registered.
+            self._record_kf_observations(ref, ref_feats)
         slot = self._push_keyframe(self.R, self.t, feats, kf_id)
         self._record_kf_observations(slot, feats)
         self.kf_feats = feats
@@ -492,22 +525,33 @@ class VisualOdometry:
         # ---- tracking ----
         Rv, tv = self.vel
         R_pred, t_pred = se3_compose(Rv, tv, self.R, self.t)
-        if self.stats and not self.stats[-1].tracking and self.initialized:
-            # Lost last frame: the prediction is unreliable — fall back to
-            # GLOBAL matching so relocalization against the map is possible.
+        relocalizing = bool(self.stats) and not self.stats[-1].tracking
+        if relocalizing:
+            # Lost last frame: the prediction is unreliable — GLOBAL matching
+            # plus absolute-pose RANSAC (pnp_refine alone is a local method
+            # and cannot recover from a stale pose).
             idx, mvalid = _match_to_map(
                 feats, self.map, cfg.matcher.max_distance, cfg.matcher.ratio
+            )
+            from tinyslam_tpu.geometry.pnp import pnp_ransac
+
+            out = pnp_ransac(
+                self.camera, self.map.X[idx], feats.xy, mvalid,
+                jax.random.PRNGKey(self.frame_idx),
+                num_hypotheses=cfg.vo.reloc_hypotheses,
+                inlier_px=cfg.vo.pnp_inlier_px,
+                refine_iters=cfg.vo.pnp_iters,
             )
         else:
             idx, mvalid = _match_to_map(
                 feats, self.map, cfg.matcher.max_distance, cfg.matcher.ratio,
                 cam=self.camera, R=R_pred, t=t_pred,
             )
+            out = _track_pnp(
+                self.camera, feats, self.map, idx, mvalid, R_pred, t_pred,
+                iters=cfg.vo.pnp_iters, inlier_px=cfg.vo.pnp_inlier_px,
+            )
         st.num_matches = int(jnp.sum(mvalid))
-        out = _track_pnp(
-            self.camera, feats, self.map, idx, mvalid, R_pred, t_pred,
-            iters=cfg.vo.pnp_iters, inlier_px=cfg.vo.pnp_inlier_px,
-        )
         if cfg.vo.track_two_pass and int(out["num_inliers"]) >= 15:
             # Second pass (ORB-SLAM's track-local-map): with the refined
             # pose, re-match under a tighter projection radius — recovers
@@ -556,8 +600,10 @@ class VisualOdometry:
 
         self.frames_since_kf += 1
         need_kf = st.tracking and (
-            n_in < cfg.vo.keyframe_min_inliers
-            or self.frames_since_kf >= cfg.vo.keyframe_max_interval
+            self.frames_since_kf >= cfg.vo.keyframe_max_interval
+            or (n_in < cfg.vo.keyframe_min_inliers
+                and self.frames_since_kf >= cfg.vo.keyframe_min_interval)
+            or n_in < cfg.vo.keyframe_critical_inliers
         )
         if need_kf:
             self._insert_keyframe(feats, idx, mvalid, out["inliers"])

@@ -69,15 +69,14 @@ class VOState:
     win_mask: jax.Array     # (K, M)
     win_valid: jax.Array    # (K,) bool
     win_kf_id: jax.Array    # (K,) int32, -1 = free
-    kf_feats: Features      # latest keyframe's features
-    kf_R: jax.Array         # (3, 3) latest keyframe pose
-    kf_t: jax.Array         # (3,)
+    win_feats: Features     # per-slot keyframe features, leading dim K
     R: jax.Array            # (3, 3) current pose (world->camera)
     t: jax.Array            # (3,)
     vel_R: jax.Array        # (3, 3) constant-velocity model (frame-to-frame)
     vel_t: jax.Array        # (3,)
     num_keyframes: jax.Array    # () int32
     frames_since_kf: jax.Array  # () int32
+    frame_idx: jax.Array        # () int32 — monotone counter (reloc RNG)
     last_tracking: jax.Array    # () bool
     threshold: jax.Array        # () float32 — adaptive FAST threshold
 
@@ -124,7 +123,8 @@ def _record_kf_obs(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
     )
 
 
-def _push_keyframe(state: VOState, R, t, kf_id) -> tuple[VOState, jax.Array]:
+def _push_keyframe(state: VOState, R, t, feats: Features,
+                   kf_id) -> tuple[VOState, jax.Array]:
     """Device analog of VisualOdometry._push_keyframe: roll the window when
     full (slot order = age), else take the first free slot."""
     K = state.win_valid.shape[0]
@@ -139,6 +139,10 @@ def _push_keyframe(state: VOState, R, t, kf_id) -> tuple[VOState, jax.Array]:
     win_mask = jnp.where(full, rolled(state.win_mask), state.win_mask)
     win_valid = jnp.where(full, rolled(state.win_valid), state.win_valid)
     win_kf_id = jnp.where(full, rolled(state.win_kf_id), state.win_kf_id)
+    win_feats = jax.tree.map(
+        lambda x: jnp.where(
+            jnp.reshape(full, (1,) * x.ndim), rolled(x), x),
+        state.win_feats)
 
     slot = jnp.where(full, K - 1, jnp.argmin(win_valid))
     win_R = win_R.at[slot].set(R)
@@ -147,9 +151,11 @@ def _push_keyframe(state: VOState, R, t, kf_id) -> tuple[VOState, jax.Array]:
     win_mask = win_mask.at[slot].set(False)
     win_valid = win_valid.at[slot].set(True)
     win_kf_id = win_kf_id.at[slot].set(kf_id)
+    win_feats = jax.tree.map(
+        lambda w, f: w.at[slot].set(f), win_feats, feats)
     return state.replace(
         win_R=win_R, win_t=win_t, win_obs=win_obs, win_mask=win_mask,
-        win_valid=win_valid, win_kf_id=win_kf_id,
+        win_valid=win_valid, win_kf_id=win_kf_id, win_feats=win_feats,
     ), slot
 
 
@@ -174,7 +180,7 @@ def _local_ba(cam: PinholeCamera, cfg: SlamConfig, state: VOState) -> VOState:
     R_new, t_new = out["R"][newest], out["t"][newest]
     return state.replace(
         win_R=out["R"], win_t=out["t"], map=state.map.replace(X=out["X"]),
-        R=R_new, t=t_new, kf_R=R_new, kf_t=t_new,
+        R=R_new, t=t_new,
     )
 
 
@@ -185,31 +191,48 @@ def _cull_landmarks(state: VOState, kf_id, max_age: int = 6,
     return state.replace(map=state.map.replace(valid=state.map.valid & ~weak))
 
 
+def _best_baseline_slot(state: VOState) -> jax.Array:
+    """Window slot with the largest camera-center distance to the current
+    pose (see VisualOdometry._best_baseline_slot): back-to-back keyframes
+    triangulate nothing, so new map points come from the widest pair."""
+    C_cur = -jnp.einsum("ij,i->j", state.R, state.t)
+    C_win = -jnp.einsum("kij,ki->kj", state.win_R, state.win_t)  # (K, 3)
+    d = jnp.linalg.norm(C_win - C_cur, axis=-1)
+    return jnp.argmax(jnp.where(state.win_valid, d, -1.0))
+
+
 def _insert_keyframe(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
                      feats: Features, match_valid, inliers) -> VOState:
     """Device analog of VisualOdometry._insert_keyframe."""
     kf_id = state.num_keyframes
     already = match_valid & inliers
-    m = match_descriptors(
-        feats.desc, feats.valid, state.kf_feats.desc, state.kf_feats.valid,
-        max_distance=cfg.matcher.max_distance, ratio=cfg.matcher.ratio,
-        cross_check=True,
-    )
-    new_map, _ = _triangulate_and_insert(
-        cam, state.map, kf_id,
-        state.R, state.t, feats,
-        state.kf_R, state.kf_t, state.kf_feats,
-        m["idx_b"], m["valid"], already,
-        max_new=cfg.frontend.features_per_level,
-    )
-    state = state.replace(map=new_map)
-    # Second-view registration for the just-triangulated landmarks.
-    prev_slot = _newest_slot(state.win_kf_id)
-    state = _record_kf_obs(cam, cfg, state, prev_slot, state.kf_feats)
-    state, slot = _push_keyframe(state, state.R, state.t, kf_id)
+    # Dual-reference triangulation: the PREVIOUS keyframe matches best
+    # (small viewpoint change) but may have little baseline; the WIDEST-
+    # baseline window keyframe triangulates best but matches worst.  Run
+    # both; the parallax/reprojection gates inside _triangulate_and_insert
+    # keep whichever pairs are actually well-conditioned.
+    refs = [_newest_slot(state.win_kf_id), _best_baseline_slot(state)]
+    for ref in refs:
+        ref_feats = jax.tree.map(lambda x: x[ref], state.win_feats)
+        R_b, t_b = state.win_R[ref], state.win_t[ref]
+        m = match_descriptors(
+            feats.desc, feats.valid, ref_feats.desc, ref_feats.valid,
+            max_distance=cfg.matcher.max_distance, ratio=cfg.matcher.ratio,
+            cross_check=True,
+        )
+        new_map, _ = _triangulate_and_insert(
+            cam, state.map, kf_id,
+            state.R, state.t, feats,
+            R_b, t_b, ref_feats,
+            m["idx_b"], m["valid"], already,
+            max_new=cfg.frontend.features_per_level,
+        )
+        state = state.replace(map=new_map)
+        # Second-view registration for the just-triangulated landmarks.
+        state = _record_kf_obs(cam, cfg, state, ref, ref_feats)
+    state, slot = _push_keyframe(state, state.R, state.t, feats, kf_id)
     state = _record_kf_obs(cam, cfg, state, slot, feats)
     state = state.replace(
-        kf_feats=feats, kf_R=state.R, kf_t=state.t,
         num_keyframes=kf_id + 1, frames_since_kf=jnp.int32(0),
     )
     state = _cull_landmarks(state, kf_id)
@@ -242,20 +265,33 @@ def track_step(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
 
     R_pred, t_pred = se3_compose(state.vel_R, state.vel_t, state.R, state.t)
 
-    # Guided matching against the predicted pose; GLOBAL matching (for
-    # relocalization) if the last frame was lost.
-    def guided(_):
-        return _match_to_map(
+    # Tracking: guided matching against the predicted pose + local PnP.
+    # Relocalization (last frame lost): GLOBAL matching + absolute-pose
+    # RANSAC — a local GN from a stale pose cannot recover.
+    def track_branch(_):
+        idx, mvalid = _match_to_map(
             feats, state.map, cfg.matcher.max_distance, cfg.matcher.ratio,
             cam=cam, R=R_pred, t=t_pred)
+        out = _track_pnp(cam, feats, state.map, idx, mvalid, R_pred, t_pred,
+                         iters=cfg.vo.pnp_iters,
+                         inlier_px=cfg.vo.pnp_inlier_px)
+        return idx, mvalid, out
 
-    def global_(_):
-        return _match_to_map(
+    def reloc_branch(_):
+        from tinyslam_tpu.geometry.pnp import pnp_ransac
+
+        idx, mvalid = _match_to_map(
             feats, state.map, cfg.matcher.max_distance, cfg.matcher.ratio)
+        key = jax.random.fold_in(jax.random.PRNGKey(17), state.frame_idx)
+        out = pnp_ransac(
+            cam, state.map.X[idx], feats.xy, mvalid, key,
+            num_hypotheses=cfg.vo.reloc_hypotheses,
+            inlier_px=cfg.vo.pnp_inlier_px, refine_iters=cfg.vo.pnp_iters)
+        out = {k: out[k] for k in ("R", "t", "inliers", "num_inliers", "rmse")}
+        return idx, mvalid, out
 
-    idx, mvalid = jax.lax.cond(state.last_tracking, guided, global_, None)
-    out = _track_pnp(cam, feats, state.map, idx, mvalid, R_pred, t_pred,
-                     iters=cfg.vo.pnp_iters, inlier_px=cfg.vo.pnp_inlier_px)
+    idx, mvalid, out = jax.lax.cond(
+        state.last_tracking, track_branch, reloc_branch, None)
 
     if cfg.vo.track_two_pass:
         def second_pass(args):
@@ -295,11 +331,14 @@ def track_step(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
         vel_t=jnp.where(tracking, vel_t_acc, vel_id_t),
         last_tracking=tracking,
         frames_since_kf=state.frames_since_kf + 1,
+        frame_idx=state.frame_idx + 1,
     )
 
     need_kf = tracking & (
-        (n_in < cfg.vo.keyframe_min_inliers)
-        | (state.frames_since_kf >= cfg.vo.keyframe_max_interval))
+        (state.frames_since_kf >= cfg.vo.keyframe_max_interval)
+        | ((n_in < cfg.vo.keyframe_min_inliers)
+           & (state.frames_since_kf >= cfg.vo.keyframe_min_interval))
+        | (n_in < cfg.vo.keyframe_critical_inliers))
     state = jax.lax.cond(
         need_kf,
         lambda s: _insert_keyframe(cam, cfg, s, feats, mvalid, out["inliers"]),
@@ -378,18 +417,24 @@ class DeviceVO:
     # -------- bootstrap state handoff --------
     def _lift_state(self) -> VOState:
         h = self._host
+        cap = self.cfg.frontend.max_features
+        slot_feats = [
+            f if f is not None else Features.empty(cap) for f in h.win_feats
+        ]
+        win_feats = jax.tree.map(
+            lambda *xs: jnp.stack(xs, axis=0), *slot_feats)
         return VOState(
             map=h.map,
             win_R=h.win_R, win_t=h.win_t,
             win_obs=h.win_obs, win_mask=h.win_mask,
             win_valid=jnp.asarray(h.win_valid),
             win_kf_id=jnp.asarray(h.win_kf_id, jnp.int32),
-            kf_feats=h.kf_feats,
-            kf_R=h.kf_pose[0], kf_t=h.kf_pose[1],
+            win_feats=win_feats,
             R=h.R, t=h.t,
             vel_R=h.vel[0], vel_t=h.vel[1],
             num_keyframes=jnp.int32(h.num_keyframes),
             frames_since_kf=jnp.int32(h.frames_since_kf),
+            frame_idx=jnp.int32(h.frame_idx + 1),
             last_tracking=jnp.asarray(
                 bool(h.stats[-1].tracking) if h.stats else True),
             threshold=jnp.float32(h.frontend._threshold),

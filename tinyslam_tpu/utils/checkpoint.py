@@ -42,6 +42,14 @@ def _vo_state_pytree(vo) -> dict:
             if vo.kf_feats is not None
             else _empty_features(vo.cfg.frontend.max_features)
         ),
+        # Per-window-slot keyframe features (None slots -> empty features;
+        # presence recorded in meta.json so restore rebuilds the same list).
+        "win_feats": [
+            _features_dict(
+                f if f is not None
+                else _empty_features(vo.cfg.frontend.max_features))
+            for f in vo.win_feats
+        ],
     }
 
 
@@ -72,6 +80,7 @@ def save_vo(vo, path) -> None:
         "frames_since_kf": vo.frames_since_kf,
         "initialized": vo.initialized,
         "has_kf_feats": vo.kf_feats is not None,
+        "win_feats_present": [f is not None for f in vo.win_feats],
         "frontend_threshold": vo.frontend._threshold,
         "trajectory": [
             [np.asarray(R).tolist(), np.asarray(t).tolist()]
@@ -112,15 +121,22 @@ def restore_vo(vo, path) -> None:
     )
 
     meta = json.loads((path / "meta.json").read_text())
-    if meta.get("has_kf_feats", False):
-        from tinyslam_tpu.types import Features
+    from tinyslam_tpu.types import Features
 
-        kf = state["kf_feats"]
-        vo.kf_feats = Features(
-            xy=jnp.asarray(kf["xy"]), level=jnp.asarray(kf["level"]),
-            angle=jnp.asarray(kf["angle"]), score=jnp.asarray(kf["score"]),
-            desc=jnp.asarray(kf["desc"]), valid=jnp.asarray(kf["valid"]),
+    def _features_from(d):
+        return Features(
+            xy=jnp.asarray(d["xy"]), level=jnp.asarray(d["level"]),
+            angle=jnp.asarray(d["angle"]), score=jnp.asarray(d["score"]),
+            desc=jnp.asarray(d["desc"]), valid=jnp.asarray(d["valid"]),
         )
+
+    if meta.get("has_kf_feats", False):
+        vo.kf_feats = _features_from(state["kf_feats"])
+    present = meta.get("win_feats_present", [False] * len(vo.win_feats))
+    vo.win_feats = [
+        _features_from(f) if p else None
+        for f, p in zip(state["win_feats"], present)
+    ]
     vo.win_valid = np.asarray(meta["win_valid"], bool)
     vo.win_kf_id = np.asarray(meta["win_kf_id"], np.int64)
     vo.num_keyframes = meta["num_keyframes"]
