@@ -93,3 +93,56 @@ def test_frontend_dp_matches_per_frame(mesh):
         np.testing.assert_array_equal(
             np.asarray(batch.valid[i]), np.asarray(single.valid)
         )
+
+
+def test_dist_pose_graph_matches_single_device(mesh):
+    from tests.test_pose_graph import _circle_poses, _relative
+    from tinyslam_tpu.backend.pose_graph import optimize_pose_graph
+    from tinyslam_tpu.parallel import optimize_pose_graph_sharded
+    from tinyslam_tpu.geometry.se3 import se3_compose, se3_exp
+
+    rng = np.random.default_rng(3)
+    n = 16
+    gt = _circle_poses(n)
+    est = [gt[0]]
+    edges = []
+    for i in range(n - 1):
+        Rm, tm = _relative(gt[i], gt[i + 1])
+        noise = np.r_[rng.normal(0, 0.01, 3), rng.normal(0, 0.005, 3)]
+        dR, dt = se3_exp(jnp.asarray(noise.astype(np.float32)))
+        Rmn, tmn = se3_compose(dR, dt, jnp.asarray(Rm), jnp.asarray(tm))
+        edges.append((i, i + 1, np.asarray(Rmn), np.asarray(tmn), 1.0))
+        Rn, tn = se3_compose(Rmn, tmn, jnp.asarray(est[-1][0]),
+                             jnp.asarray(est[-1][1]))
+        est.append((np.asarray(Rn), np.asarray(tn)))
+    Rm, tm = _relative(gt[n - 1], gt[0])
+    edges.append((n - 1, 0, Rm, tm, 10.0))
+
+    # Pad edge set to a multiple of the total device count (8) with
+    # invalid edges: they must contribute nothing.
+    E = len(edges)
+    Ep = ((E + 7) // 8) * 8
+    ei = np.array([e[0] for e in edges] + [0] * (Ep - E), np.int32)
+    ej = np.array([e[1] for e in edges] + [1] * (Ep - E), np.int32)
+    eR = np.stack([e[2] for e in edges] + [np.eye(3, dtype=np.float32)] * (Ep - E))
+    et = np.stack([e[3] for e in edges] + [np.zeros(3, np.float32)] * (Ep - E))
+    ev = np.array([True] * E + [False] * (Ep - E))
+    ew = np.array([e[4] for e in edges] + [0.0] * (Ep - E), np.float32)
+
+    args = (
+        jnp.asarray(np.stack([p[0] for p in est])),
+        jnp.asarray(np.stack([p[1] for p in est])),
+        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(eR), jnp.asarray(et),
+        jnp.asarray(ev), jnp.asarray(ew),
+    )
+    single = optimize_pose_graph(*args, iters=10)
+
+    # Edge-shard over the full 8-device mesh (flattened axes via a 1D mesh).
+    flat = make_mesh(MeshConfig(frame_axis=1, landmark_axis=8))
+    dist = optimize_pose_graph_sharded(flat, *args, iters=10)
+
+    np.testing.assert_allclose(
+        np.asarray(dist["R"]), np.asarray(single["R"]), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(dist["t"]), np.asarray(single["t"]), atol=5e-3)
+    assert float(dist["costs"][-1]) < float(dist["costs"][0])

@@ -63,3 +63,64 @@ def test_slam_edges_and_nodes_consistent(out_and_back):
     assert n == slam.vo.num_keyframes == len(slam.kf_store)
     for i, j, _, _, w in slam.edges:
         assert 0 <= i < n and 0 <= j < n and w > 0
+
+
+def test_slam_async_backend_matches_sync(out_and_back):
+    """Async (PP-analog, parallel/pipeline.py) loop closure: tracking never
+    blocks on the pose-graph solve; the end-state trajectory quality must
+    match the synchronous path."""
+    cam, images, gt_poses = out_and_back
+    slam = Slam(_cfg(), cam, async_backend=True)
+    try:
+        slam.run(images)
+        assert slam.num_loop_closures >= 1
+        ntrk = sum(1 for s in slam.vo.stats if s.tracking)
+        assert ntrk > 0.7 * len(images)
+        gt_pos = np.stack([-(R.T @ t) for R, t in gt_poses])
+        first = next(i for i, s in enumerate(slam.vo.stats) if s.tracking)
+        ate = ate_rmse(slam.positions[first:], gt_pos[first:])
+        assert ate < 0.6, f"ATE {ate:.3f}"
+    finally:
+        slam.close()
+
+
+def test_async_worker_latest_wins():
+    import time
+
+    from tinyslam_tpu.parallel.pipeline import AsyncWorker
+
+    w = AsyncWorker()
+    try:
+        done = []
+
+        def slow(tag):
+            def fn():
+                time.sleep(0.2)
+                done.append(tag)
+                return tag
+            return fn
+
+        w.submit(slow("a"))
+        time.sleep(0.05)          # "a" started
+        w.submit(slow("b"))
+        w.submit(slow("c"))       # replaces "b" before it starts
+        assert w.flush() == "c"
+        assert "b" not in done
+    finally:
+        w.close()
+
+
+def test_async_worker_propagates_errors():
+    from tinyslam_tpu.parallel.pipeline import AsyncWorker
+
+    w = AsyncWorker()
+    try:
+        def boom():
+            raise ValueError("backend failure")
+
+        w.submit(boom)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="backend failure"):
+            w.flush()
+    finally:
+        w.close()

@@ -50,6 +50,25 @@ def optimize_pose_graph(
     iters: int = 20,
     damping: float = 1e-6,
 ) -> dict:
+    return _pose_graph_core(
+        R, t, edge_i, edge_j, edge_R, edge_t, edge_valid,
+        edge_weight, node_valid, iters=iters, damping=damping,
+    )
+
+
+def _pose_graph_core(
+    R, t, edge_i, edge_j, edge_R, edge_t, edge_valid,
+    edge_weight=None, node_valid=None, iters: int = 20,
+    damping: float = 1e-6, preduce=lambda x: x,
+) -> dict:
+    """Gauss-Newton pose-graph core.
+
+    ``preduce`` hooks the normal-equation reduction: identity on one
+    device; ``lax.psum`` over the edge-shard mesh axis in the distributed
+    wrapper (parallel/dist_pose_graph.py) — each shard assembles H, g from
+    its own edges and the solve runs replicated, so per-iteration comms is
+    one (6N)^2 allreduce regardless of edge count.
+    """
     n = R.shape[0]
     if edge_weight is None:
         edge_weight = jnp.ones_like(edge_valid, jnp.float32)
@@ -97,6 +116,10 @@ def optimize_pose_graph(
         g = g.at[edge_i].add(-jnp.einsum("eab,ea->eb", Ji * we, r))
         g = g.at[edge_j].add(-jnp.einsum("eab,ea->eb", Jj * we, r))
 
+        # Cross-shard reduction point (identity on a single device).
+        H = preduce(H)
+        g = preduce(g)
+
         fr = free.astype(R.dtype)
         H = H * fr[:, None, None, None] * fr[None, None, :, None]
         H = H.at[jnp.arange(n), :, jnp.arange(n), :].add(
@@ -110,7 +133,7 @@ def optimize_pose_graph(
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         dR, dt = se3_exp(dx)
         R_new, t_new = se3_compose(dR, dt, R_cur, t_cur)
-        return (R_new, t_new), jnp.sum(w_e * jnp.sum(r * r, axis=-1))
+        return (R_new, t_new), preduce(jnp.sum(w_e * jnp.sum(r * r, axis=-1)))
 
     (R_out, t_out), costs = jax.lax.scan(gn_step, (R, t), None, length=iters)
     return {"R": R_out, "t": t_out, "costs": costs}

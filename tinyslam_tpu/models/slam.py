@@ -48,9 +48,17 @@ def _reanchor_landmarks(X, anchor_kf, valid, R_old, t_old, R_new, t_new):
 
 
 class Slam:
-    """VO + loop closure.  Use exactly like VisualOdometry."""
+    """VO + loop closure.  Use exactly like VisualOdometry.
 
-    def __init__(self, cfg: SlamConfig, camera: PinholeCamera, **vo_kwargs):
+    With ``async_backend=True`` the pose-graph solve runs on a worker
+    thread (parallel/pipeline.py, the PP analog of SURVEY §2d): tracking
+    never blocks on global optimization; the correction is applied at the
+    first frame boundary after the solve finishes.  Call ``finalize()``
+    (or ``run()``, which does) to flush a pending solve at sequence end.
+    """
+
+    def __init__(self, cfg: SlamConfig, camera: PinholeCamera,
+                 async_backend: bool = False, **vo_kwargs):
         self.cfg = cfg
         self.camera = camera
         self.vo = VisualOdometry(cfg, camera, **vo_kwargs)
@@ -60,6 +68,11 @@ class Slam:
         self.kf_t: list[np.ndarray] = []
         self.edges: list[tuple[int, int, np.ndarray, np.ndarray, float]] = []
         self.num_loop_closures = 0
+        self._worker = None
+        if async_backend:
+            from tinyslam_tpu.parallel.pipeline import AsyncWorker
+
+            self._worker = AsyncWorker()
 
     # ------------- keyframe bookkeeping -------------
     def _sync_new_keyframes(self):
@@ -132,18 +145,27 @@ class Slam:
             return
 
     def _optimize_graph(self):
-        from tinyslam_tpu.backend.pose_graph import optimize_pose_graph
-
         n = len(self.kf_R)
         if n < 3 or not self.edges:
             return
-        R_old = np.stack(self.kf_R)
-        t_old = np.stack(self.kf_t)
-        ei = np.array([e[0] for e in self.edges], np.int32)
-        ej = np.array([e[1] for e in self.edges], np.int32)
-        eR = np.stack([e[2] for e in self.edges])
-        et = np.stack([e[3] for e in self.edges])
-        ew = np.array([e[4] for e in self.edges], np.float32)
+        snap = (np.stack(self.kf_R), np.stack(self.kf_t), list(self.edges))
+        if self._worker is not None:
+            # Latest-wins: a newer snapshot contains every edge of an older
+            # one, so superseding a not-yet-started solve loses nothing.
+            self._worker.submit(lambda: (snap, self._solve_graph(snap)))
+        else:
+            self._apply_graph_result(snap, self._solve_graph(snap))
+
+    def _solve_graph(self, snap):
+        """Device compute only — safe on the worker thread."""
+        from tinyslam_tpu.backend.pose_graph import optimize_pose_graph
+
+        R_old, t_old, edges = snap
+        ei = np.array([e[0] for e in edges], np.int32)
+        ej = np.array([e[1] for e in edges], np.int32)
+        eR = np.stack([e[2] for e in edges])
+        et = np.stack([e[3] for e in edges])
+        ew = np.array([e[4] for e in edges], np.float32)
         out = optimize_pose_graph(
             jnp.asarray(R_old), jnp.asarray(t_old),
             jnp.asarray(ei), jnp.asarray(ej),
@@ -151,8 +173,32 @@ class Slam:
             jnp.asarray(np.ones(len(ei), bool)), jnp.asarray(ew),
             iters=self.cfg.pose_graph.gn_iters,
         )
-        R_new = np.asarray(out["R"])
-        t_new = np.asarray(out["t"])
+        return np.asarray(out["R"]), np.asarray(out["t"])
+
+    def _apply_graph_result(self, snap, solved):
+        R_old, t_old, _ = snap
+        R_new, t_new = solved
+        n = len(R_old)
+        total = len(self.kf_R)
+        if total > n:
+            # Keyframes created while the solve ran: carry them (and the
+            # landmarks they anchor) by the newest snapshot node's
+            # correction, exactly as the live pose is corrected below.
+            cR, ct = se3_compose(
+                jnp.asarray(R_new[n - 1]), jnp.asarray(t_new[n - 1]),
+                *se3_inverse(jnp.asarray(R_old[n - 1]), jnp.asarray(t_old[n - 1])),
+            )
+            ext_old_R = np.stack(self.kf_R[n:])
+            ext_old_t = np.stack(self.kf_t[n:])
+            ext_new = [
+                se3_compose(cR, ct, jnp.asarray(r), jnp.asarray(tt))
+                for r, tt in zip(ext_old_R, ext_old_t)
+            ]
+            R_old = np.concatenate([R_old, ext_old_R])
+            t_old = np.concatenate([t_old, ext_old_t])
+            R_new = np.concatenate([R_new, np.stack([np.asarray(e[0]) for e in ext_new])])
+            t_new = np.concatenate([t_new, np.stack([np.asarray(e[1]) for e in ext_new])])
+            n = total
         # Re-anchor landmarks with their keyframe corrections.
         self.vo.map = self.vo.map.replace(
             X=_reanchor_landmarks(
@@ -197,7 +243,23 @@ class Slam:
         # Keep Slam's per-KF pose log in sync with BA-refined window poses.
         self._sync_new_keyframes()
         self._refresh_window_poses()
+        if self._worker is not None:
+            res = self._worker.poll()
+            if res is not None:
+                self._apply_graph_result(*res)
         return st
+
+    def finalize(self):
+        """Apply any in-flight pose-graph solve (async mode); idempotent."""
+        if self._worker is not None:
+            res = self._worker.flush()
+            if res is not None:
+                self._apply_graph_result(*res)
+
+    def close(self):
+        if self._worker is not None:
+            self._worker.close()
+            self._worker = None
 
     def _refresh_window_poses(self):
         for slot in range(len(self.vo.win_valid)):
@@ -208,7 +270,9 @@ class Slam:
                     self.kf_t[kf_id] = np.asarray(self.vo.win_t[slot])
 
     def run(self, images):
-        return [self.process_frame(im) for im in images]
+        out = [self.process_frame(im) for im in images]
+        self.finalize()
+        return out
 
     @property
     def positions(self) -> np.ndarray:

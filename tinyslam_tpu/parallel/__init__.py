@@ -12,8 +12,12 @@ BASELINE config 5:
                     per-shard normal blocks, Schur contributions psum-ed
                     over ICI, replicated reduced-camera solve, shard-local
                     landmark back-substitution.
+- ``dist_pose_graph`` — edge-sharded pose-graph optimization: per-shard
+                    normal-equation assembly, one psum per GN iteration,
+                    replicated solve (trajectory-scaling / SP analog).
 """
 
 from tinyslam_tpu.parallel.mesh import make_mesh, initialize_multihost  # noqa: F401
 from tinyslam_tpu.parallel.frontend_dp import extract_features_batch  # noqa: F401
 from tinyslam_tpu.parallel.dist_ba import bundle_adjust_sharded  # noqa: F401
+from tinyslam_tpu.parallel.dist_pose_graph import optimize_pose_graph_sharded  # noqa: F401
