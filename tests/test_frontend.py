@@ -69,6 +69,34 @@ def test_rgb_input_and_threshold_override():
     assert int(f_low.count) >= int(f_high.count)
 
 
+def test_rgba_input_matches_rgb():
+    # The reference ingests Rgba8Unorm frames (reference src/orb.rs:116-121);
+    # alpha must be dropped, not folded into luma.
+    cfg = _cfg(adaptive_threshold=False)
+    fe = OrbFrontend(cfg)
+    rng = np.random.default_rng(12)
+    rgb = rng.random((96, 128, 3)).astype(np.float32)
+    rgba = np.concatenate([rgb, np.full((96, 128, 1), 0.5, np.float32)], -1)
+    f3 = fe.extract(jnp.asarray(rgb))
+    f4 = fe.extract(jnp.asarray(rgba))
+    for a, b in zip(jax.tree.leaves(f3), jax.tree.leaves(f4)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # uint8 RGBA also accepted (the reference's actual upload format).
+    f8 = fe.extract(jnp.asarray((rgba * 255).astype(np.uint8)))
+    assert int(f8.count) > 0
+
+
+def test_adaptive_threshold_stays_on_device():
+    # The controller must never materialize feats.count on the host: the
+    # threshold state is a device array end to end.
+    cfg = _cfg(adaptive_threshold=True)
+    fe = OrbFrontend(cfg)
+    rng = np.random.default_rng(13)
+    img = jnp.asarray(rng.random((96, 128)).astype(np.float32))
+    fe.extract(img)
+    assert isinstance(fe._threshold, jax.Array)
+
+
 def test_levels_report_level0_coords():
     cfg = _cfg(num_levels=3)
     fe = OrbFrontend(cfg)

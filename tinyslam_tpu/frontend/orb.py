@@ -97,6 +97,27 @@ def extract_features(
     return Features.concatenate(parts)
 
 
+def adapt_threshold(
+    threshold: jax.Array, count: jax.Array, capacity: int, target: float
+) -> jax.Array:
+    """Device-side multiplicative threshold controller (no host sync).
+
+    Nudges the FAST threshold so the detected/capacity fill ratio tracks
+    ``target`` — the controller the reference's ``initial_threshold`` naming
+    implies but never built (orb.rs:44; set_threshold orb.rs:585-589 is the
+    manual version).  The two branches are mutually exclusive, so the chained
+    ``where`` is an if/elif.
+    """
+    fill = count.astype(jnp.float32) / capacity
+    th = jnp.where(
+        fill > min(0.99, target * 1.2),
+        jnp.minimum(threshold * 1.1, 0.5),
+        threshold,
+    )
+    th = jnp.where(fill < target * 0.8, jnp.maximum(th * 0.9, 0.01), th)
+    return th
+
+
 class OrbFrontend:
     """Config-bound, jit-compiled front-end.
 
@@ -106,11 +127,11 @@ class OrbFrontend:
         feats = fe.extract(frame)            # compiled once per image shape
         feats = fe.extract(frame, threshold=0.08)
 
-    Adaptive thresholding (cfg.adaptive_threshold): the FAST threshold is a
-    runtime scalar (no retrace), nudged each frame so the detected count
-    tracks ``target_fill`` of capacity — the controller the reference's
-    ``initial_threshold`` naming implies but never built (orb.rs:44,
-    set_threshold orb.rs:585-589 is the manual version).
+    Adaptive thresholding (cfg.adaptive_threshold) runs ENTIRELY on device:
+    the threshold lives as a device scalar that each extraction returns
+    updated; the host never reads ``feats.count`` (a per-frame device->host
+    sync would cap async dispatch — the disease the reference has at
+    orb.rs:541-547, one blocking readback per frame).
     """
 
     def __init__(self, cfg: FrontendConfig):
@@ -118,17 +139,31 @@ class OrbFrontend:
         self._extract = jax.jit(
             functools.partial(extract_features, cfg=cfg)
         )
-        self._threshold = float(cfg.threshold)
+
+        def _extract_adaptive(image, threshold):
+            feats = extract_features(image, threshold, cfg)
+            new_t = adapt_threshold(
+                threshold, feats.count, cfg.max_features, cfg.target_fill
+            )
+            return feats, new_t
+
+        self._extract_adaptive = jax.jit(_extract_adaptive)
+        self._threshold = jnp.float32(cfg.threshold)  # device scalar
+
+    @property
+    def threshold(self) -> float:
+        """Current FAST threshold (forces a device sync; debugging/ckpt only)."""
+        return float(self._threshold)
+
+    @threshold.setter
+    def threshold(self, value: float) -> None:
+        self._threshold = jnp.float32(value)
 
     def extract(self, image: jax.Array, threshold: float | None = None) -> Features:
-        t = self._threshold if threshold is None else threshold
-        feats = self._extract(image, jnp.float32(t))
-        if threshold is None and self.cfg.adaptive_threshold:
-            fill = float(feats.count) / feats.capacity
-            target = self.cfg.target_fill
-            # Multiplicative controller, clamped to a sane range.
-            if fill > min(0.99, target * 1.2):
-                self._threshold = min(self._threshold * 1.1, 0.5)
-            elif fill < target * 0.8:
-                self._threshold = max(self._threshold * 0.9, 0.01)
-        return feats
+        if threshold is not None:
+            return self._extract(image, jnp.float32(threshold))
+        if self.cfg.adaptive_threshold:
+            feats, self._threshold = self._extract_adaptive(
+                image, self._threshold)
+            return feats
+        return self._extract(image, self._threshold)

@@ -253,15 +253,13 @@ def track_step(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
         image = image.astype(jnp.float32) * (1.0 / 255.0)
     feats = extract_features(image, state.threshold, cfg.frontend)
 
-    # Adaptive FAST threshold (OrbFrontend controller, device-side).
+    # Adaptive FAST threshold (same device-side controller as OrbFrontend).
     if cfg.frontend.adaptive_threshold:
-        fill = feats.count.astype(jnp.float32) / feats.capacity
-        target = cfg.frontend.target_fill
-        th = state.threshold
-        th = jnp.where(fill > min(0.99, target * 1.2),
-                       jnp.minimum(th * 1.1, 0.5), th)
-        th = jnp.where(fill < target * 0.8, jnp.maximum(th * 0.9, 0.01), th)
-        state = state.replace(threshold=th)
+        from tinyslam_tpu.frontend.orb import adapt_threshold
+
+        state = state.replace(threshold=adapt_threshold(
+            state.threshold, feats.count, feats.capacity,
+            cfg.frontend.target_fill))
 
     R_pred, t_pred = se3_compose(state.vel_R, state.vel_t, state.R, state.t)
 
@@ -437,7 +435,7 @@ class DeviceVO:
             frame_idx=jnp.int32(h.frame_idx + 1),
             last_tracking=jnp.asarray(
                 bool(h.stats[-1].tracking) if h.stats else True),
-            threshold=jnp.float32(h.frontend._threshold),
+            threshold=jnp.asarray(h.frontend._threshold, jnp.float32),
         )
 
     # -------- frame ingestion --------

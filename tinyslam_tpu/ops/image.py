@@ -29,12 +29,16 @@ LUMA = (0.299, 0.587, 0.114)
 
 
 def rgb_to_gray(rgb: jax.Array) -> jax.Array:
-    """(..., H, W, 3) RGB -> (..., H, W) float32 luminance in [0, 1].
+    """(..., H, W, 3|4) RGB[A] -> (..., H, W) float32 luminance in [0, 1].
 
-    Accepts uint8 (scaled by 1/255) or float input.
+    Accepts uint8 (scaled by 1/255) or float input.  A 4th (alpha) channel is
+    dropped — the reference's input texture is Rgba8Unorm (reference
+    src/orb.rs:116-121; grayscale.wgsl samples .rgb only).
     """
     if rgb.dtype == jnp.uint8:
         rgb = rgb.astype(jnp.float32) / 255.0
+    if rgb.shape[-1] == 4:
+        rgb = rgb[..., :3]
     w = jnp.asarray(LUMA, dtype=jnp.float32)
     return jnp.tensordot(rgb.astype(jnp.float32), w, axes=((-1,), (0,)))
 

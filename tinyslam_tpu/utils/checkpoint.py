@@ -81,7 +81,7 @@ def save_vo(vo, path) -> None:
         "initialized": vo.initialized,
         "has_kf_feats": vo.kf_feats is not None,
         "win_feats_present": [f is not None for f in vo.win_feats],
-        "frontend_threshold": vo.frontend._threshold,
+        "frontend_threshold": vo.frontend.threshold,
         "trajectory": [
             [np.asarray(R).tolist(), np.asarray(t).tolist()]
             for R, t in vo.trajectory
@@ -143,7 +143,7 @@ def restore_vo(vo, path) -> None:
     vo.frame_idx = meta["frame_idx"]
     vo.frames_since_kf = meta["frames_since_kf"]
     vo.initialized = meta["initialized"]
-    vo.frontend._threshold = meta.get("frontend_threshold", vo.frontend._threshold)
+    vo.frontend.threshold = meta.get("frontend_threshold", vo.frontend.threshold)
     vo.trajectory = [
         (np.asarray(R, np.float32), np.asarray(t, np.float32))
         for R, t in meta["trajectory"]
