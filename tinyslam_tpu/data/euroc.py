@@ -14,10 +14,12 @@ import numpy as np
 
 from tinyslam_tpu.data.tum import quat_to_rotation
 
-# EuRoC cam0 intrinsics (from the public sensor.yaml; radial-tangential
-# distortion handled by undistorting at load time when enabled).
+# EuRoC cam0 intrinsics (from the public sensor.yaml).  Radial-tangential
+# distortion is undistorted at load time (data/undistort.py) so the device
+# model stays a pure pinhole with these same intrinsics.
 EUROC_CAM0 = dict(fx=458.654, fy=457.296, cx=367.215, cy=248.375)
 EUROC_DIST = dict(k1=-0.28340811, k2=0.07395907, p1=0.00019359, p2=1.76187114e-05)
+EUROC_SIZE = dict(height=480, width=752)
 
 
 def _read_csv(path: Path) -> list[list[str]]:
@@ -58,12 +60,24 @@ class EurocSequence:
                 seq.groundtruth.append((t, R.astype(np.float32), tt.astype(np.float32)))
         return seq
 
-    def frames(self, capacity: int = 8, threads: int = 4):
+    def frames(self, capacity: int = 8, threads: int = 4,
+               undistort: bool = True):
+        """Async-prefetched cam0 frames, radtan-undistorted by default so
+        downstream geometry can use EUROC_CAM0 as a pure pinhole (EuRoC's
+        k1 = -0.283 is far too strong to ignore)."""
         from tinyslam_tpu.native import FrameLoader
 
+        und = None
+        if undistort:
+            from tinyslam_tpu.data.undistort import Undistorter
+
+            und = Undistorter(EUROC_CAM0, EUROC_DIST, **EUROC_SIZE)
         loader = FrameLoader([p for _, p in self.cam0],
                              capacity=capacity, threads=threads)
+        hw = (EUROC_SIZE["height"], EUROC_SIZE["width"])
         for (t, _), img in zip(self.cam0, loader):
+            if und is not None and img.shape[:2] == hw:
+                img = und(img)
             yield t, img
 
     def gt_positions(self) -> np.ndarray:

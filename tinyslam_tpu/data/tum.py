@@ -13,8 +13,11 @@ from pathlib import Path
 
 import numpy as np
 
-# Default TUM fr1 intrinsics (freiburg1 sequences).
+# Default TUM fr1 intrinsics (freiburg1 sequences, ROS calibration).
 FR1_INTRINSICS = dict(fx=517.3, fy=516.5, cx=318.6, cy=255.3)
+# fr1 plumb-bob distortion (the published ROS calib); undistorted at load.
+FR1_DIST = dict(k1=0.2624, k2=-0.9531, p1=-0.0054, p2=0.0026, k3=1.1633)
+FR1_SIZE = dict(height=480, width=640)
 
 
 def _read_list(path: Path) -> list[tuple[float, list[str]]]:
@@ -91,14 +94,23 @@ class TumSequence:
                 seq.groundtruth.append((t, R.astype(np.float32), tt.astype(np.float32)))
         return seq
 
-    def frames(self, capacity: int = 8, threads: int = 4):
+    def frames(self, capacity: int = 8, threads: int = 4,
+               undistort: bool = True, dist: dict | None = None):
         """Async-prefetched RGB frames: yields (timestamp, (H, W, 3) uint8
-        or (H, W) uint8)."""
+        or (H, W) uint8), plumb-bob-undistorted by default (fr1 calib)."""
         from tinyslam_tpu.native import FrameLoader
 
+        und = None
+        if undistort:
+            from tinyslam_tpu.data.undistort import Undistorter
+
+            und = Undistorter(FR1_INTRINSICS, dist or FR1_DIST, **FR1_SIZE)
         paths = [self.root / p for _, p in self.rgb]
         loader = FrameLoader(paths, capacity=capacity, threads=threads)
         for (t, _), img in zip(self.rgb, loader):
+            if und is not None and img.shape[:2] == (FR1_SIZE["height"],
+                                                     FR1_SIZE["width"]):
+                img = und(img)
             yield t, img
 
     def gt_positions(self) -> np.ndarray:
