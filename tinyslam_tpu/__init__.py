@@ -32,6 +32,24 @@ and BA shaped for the MXU.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# TPU MXU f32 matmuls default to bfloat16 multiplies; that is fine for the
+# front-end (descriptors tolerate bit noise; Hamming matching is int8) but it
+# poisons the GEOMETRY path — triangulation, PnP Gauss-Newton, the BA Schur
+# solve — where bf16's 8-bit mantissa costs ~10x trajectory accuracy
+# (measured: close-range desk sequence ATE 0.134 m on TPU-bf16 vs 0.014 m on
+# f32).  Accuracy is a product target (BASELINE: ATE <= 0.05 m), so float32
+# is the framework default; the few throughput-critical front-end matmuls
+# opt back into fast bf16 explicitly (ops/brief.py).  Override with
+# TINYSLAM_MATMUL_PRECISION=default to benchmark the difference.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("TINYSLAM_MATMUL_PRECISION", "float32"),
+)
+
 from tinyslam_tpu.config import (  # noqa: F401
     FrontendConfig,
     MatcherConfig,

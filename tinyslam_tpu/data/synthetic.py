@@ -145,25 +145,46 @@ class TexturedRoom:
 
     Each face carries a bilinearly-sampled random grid texture: dense
     FAST-corner-rich structure whose corners are true 3D points.
+    ``octaves > 1`` overlays finer-scale texture (detail at several spatial
+    frequencies, like real indoor scenes).
     """
 
     def __init__(self, rng: np.random.Generator, half_size=(6.0, 4.0, 6.0),
-                 tex_res: int = 64):
+                 tex_res: int = 64, octaves: int = 1):
         self.half = np.asarray(half_size, np.float64)
-        # 6 faces x (tex_res, tex_res) random textures, lightly smoothed.
-        tex = rng.random((6, tex_res + 1, tex_res + 1))
-        tex = 0.15 + 0.7 * (tex > 0.5).astype(np.float64)
-        self.tex = tex
-        self.res = tex_res
+        # 6 faces x (tex_res, tex_res) random grid textures per octave.
+        res = tex_res
+        base = rng.random((6, res + 1, res + 1))
+        tex = 0.15 + 0.7 * (base > 0.5).astype(np.float64)
+        for o in range(1, octaves):
+            r2 = res * (2 ** o)
+            fine = rng.random((6, r2 + 1, r2 + 1)) > 0.5
+            # Downweight finer octaves; upsample by indexing at render time
+            # is avoided by folding into one texture at the finest res.
+            up = np.repeat(np.repeat(tex, 2 ** o, axis=1), 2 ** o, axis=2)
+            up = up[:, : r2 + 1, : r2 + 1]
+            tex = up + (fine.astype(np.float64) - 0.5) * (0.5 / (2 ** o))
+            res = r2
+        self.tex = np.clip(tex, 0.02, 0.98)
+        self.res = res
 
     def render(self, cam: PinholeCamera, R: np.ndarray, t: np.ndarray,
-               width: int, height: int) -> np.ndarray:
+               width: int, height: int,
+               dist: dict | None = None) -> np.ndarray:
+        """Render the room for pose (R, t).  With ``dist`` (radtan dict) the
+        camera is a DISTORTED pinhole: each pixel's ray is cast through the
+        inverse distortion, producing an exactly-distorted image with no
+        resampling pass."""
         fx, fy = float(cam.fx), float(cam.fy)
         cx, cy = float(cam.cx), float(cam.cy)
         us, vs = np.meshgrid(np.arange(width), np.arange(height))
-        d_cam = np.stack(
-            [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)], -1
-        )
+        xn = (us - cx) / fx
+        yn = (vs - cy) / fy
+        if dist is not None:
+            from tinyslam_tpu.data.undistort import radtan_undistort_points
+
+            xn, yn = radtan_undistort_points(xn, yn, **dist)
+        d_cam = np.stack([xn, yn, np.ones_like(xn, np.float64)], -1)
         Rm = np.asarray(R, np.float64)
         C = -Rm.T @ np.asarray(t, np.float64)
         d = d_cam @ Rm  # (H, W, 3) world-frame ray dirs (R^T applied rowwise)
@@ -239,6 +260,178 @@ class TexturedRoom:
             + t[y0 + 1, x0] * (1 - ax) * ay
             + t[y0 + 1, x0 + 1] * ax * ay
         )
+
+
+def _smooth_walk(rng: np.random.Generator, n: int, dims: int,
+                 sigma: float, window: int) -> np.ndarray:
+    """(n, dims) zero-mean smooth random walk: white noise -> cumsum -> box
+    smoothing -> de-trended; the low-frequency wander of handheld motion."""
+    steps = rng.normal(0.0, sigma, (n + window, dims))
+    walk = np.cumsum(steps, axis=0)
+    kernel = np.ones(window) / window
+    sm = np.stack([np.convolve(walk[:, d], kernel, mode="same")
+                   for d in range(dims)], -1)[:n]
+    return sm - sm.mean(axis=0)
+
+
+def handheld_trajectory(rng: np.random.Generator, num_frames: int,
+                        radius: float = 2.0, step: float = 0.012,
+                        target=(0.0, 0.0, 2.0), jitter_pos: float = 0.004,
+                        jitter_tgt: float = 0.01, height_amp: float = 0.15,
+                        ) -> list[tuple[np.ndarray, np.ndarray]]:
+    """A TUM-fr1-desk-like handheld sweep: a slow arc around the scene with
+    smoothed 6-DoF jitter (position tremor + independent look-target wander,
+    i.e. coupled rotation noise) and a slow vertical bob."""
+    tgt0 = np.asarray(target, np.float64)
+    jp = _smooth_walk(rng, num_frames, 3, jitter_pos, 12)
+    jt = _smooth_walk(rng, num_frames, 3, jitter_tgt, 18)
+    poses = []
+    for i in range(num_frames):
+        a = -0.45 + i * step
+        h = 0.4 + height_amp * np.sin(i * 0.05)
+        pos = np.array([radius * np.sin(a), h, -radius * np.cos(a)]) + tgt0
+        poses.append(look_at(pos + jp[i], tgt0 + jt[i]))
+    return poses
+
+
+def mav_trajectory(rng: np.random.Generator, num_frames: int,
+                   radius: float = 3.0, step: float = 0.02,
+                   target=(0.0, 0.0, 1.0)) -> list[tuple[np.ndarray, np.ndarray]]:
+    """A EuRoC-MH-like aggressive sweep: faster arc, larger excursions, yaw
+    ahead of the track (MAVs look into the turn), strong height changes."""
+    tgt0 = np.asarray(target, np.float64)
+    jp = _smooth_walk(rng, num_frames, 3, 0.01, 20)
+    jt = _smooth_walk(rng, num_frames, 3, 0.02, 25)
+    poses = []
+    for i in range(num_frames):
+        a = -0.6 + i * step
+        h = 0.2 + 0.8 * np.sin(i * 0.025)
+        pos = np.array([radius * np.sin(a), h, -radius * np.cos(a)]) + tgt0
+        look = tgt0 + np.array([1.2 * np.sin(a + 0.3), 0.3 * np.sin(i * 0.04),
+                                -1.2 * np.cos(a + 0.3)]) * 0.3
+        poses.append(look_at(pos + jp[i], look + jt[i]))
+    return poses
+
+
+def apply_photometrics(img: np.ndarray, rng: np.random.Generator,
+                       exposure: float = 1.0, vignette: float = 0.25,
+                       noise_std: float = 0.006,
+                       quantize: bool = True) -> np.ndarray:
+    """Real-camera image statistics on a clean render: vignetting (cos^4
+    falloff), per-frame exposure gain, sensor noise, 8-bit quantization.
+    Returns uint8 when ``quantize`` (what a real dataset PNG holds)."""
+    h, w = img.shape[:2]
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    r2 = (((xx - w / 2) / (w / 2)) ** 2 + ((yy - h / 2) / (h / 2)) ** 2) / 2.0
+    vig = 1.0 - vignette * r2
+    out = img * vig * exposure
+    out = out + rng.normal(0.0, noise_std, out.shape)
+    out = np.clip(out, 0.0, 1.0)
+    if quantize:
+        return np.rint(out * 255.0).astype(np.uint8)
+    return out.astype(np.float32)
+
+
+def exposure_track(rng: np.random.Generator, n: int,
+                   amp: float = 0.15) -> np.ndarray:
+    """Smooth per-frame exposure gains around 1.0 (auto-exposure hunting)."""
+    return 1.0 + _smooth_walk(rng, n, 1, amp / 8, 30)[:, 0].clip(-amp, amp)
+
+
+def render_sequence(rng: np.random.Generator, poses, cam: PinholeCamera,
+                    width: int, height: int, room: "TexturedRoom",
+                    dist: dict | None = None,
+                    photometric: bool = True) -> list[np.ndarray]:
+    """Render poses through a (possibly distorted) camera with photometric
+    effects — uint8 frames statistically shaped like a real dataset's."""
+    gains = exposure_track(rng, len(poses)) if photometric else None
+    frames = []
+    for i, (R, t) in enumerate(poses):
+        img = room.render(cam, R, t, width, height, dist=dist)
+        if photometric:
+            img = apply_photometrics(img, rng, exposure=float(gains[i]))
+        frames.append(img)
+    return frames
+
+
+def write_tum_sequence(root, images, poses, fps: float = 30.0) -> None:
+    """Write frames + ground truth in the real TUM RGB-D layout (rgb.txt,
+    rgb/*.png, groundtruth.txt) so the actual TumSequence loader, native PNG
+    decode and undistortion path are exercised end to end."""
+    from pathlib import Path
+
+    from tinyslam_tpu.data.png import write_png
+
+    root = Path(root)
+    (root / "rgb").mkdir(parents=True, exist_ok=True)
+    rgb_lines, gt_lines = [], []
+    for i, (img, (R, t)) in enumerate(zip(images, poses)):
+        ts = i / fps
+        name = f"rgb/{ts:.6f}.png"
+        write_png(root / name, img)
+        rgb_lines.append(f"{ts:.6f} {name}")
+        C = -np.asarray(R).T @ np.asarray(t)
+        q = rotation_to_quat(np.asarray(R).T)     # cam->world, TUM convention
+        gt_lines.append(
+            f"{ts:.6f} {C[0]:.6f} {C[1]:.6f} {C[2]:.6f} "
+            f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}")
+    (root / "rgb.txt").write_text("# ts path\n" + "\n".join(rgb_lines) + "\n")
+    (root / "groundtruth.txt").write_text(
+        "# ts tx ty tz qx qy qz qw\n" + "\n".join(gt_lines) + "\n")
+
+
+def write_euroc_sequence(root, images, poses, fps: float = 20.0) -> None:
+    """Write frames + GT in the real EuRoC ASL layout (mav0/cam0/data.csv,
+    data/*.png, state_groundtruth_estimate0/data.csv)."""
+    from pathlib import Path
+
+    from tinyslam_tpu.data.png import write_png
+
+    root = Path(root)
+    cam_dir = root / "mav0" / "cam0" / "data"
+    cam_dir.mkdir(parents=True, exist_ok=True)
+    gt_dir = root / "mav0" / "state_groundtruth_estimate0"
+    gt_dir.mkdir(parents=True, exist_ok=True)
+    cam_lines, gt_lines = [], []
+    for i, (img, (R, t)) in enumerate(zip(images, poses)):
+        ts_ns = int(1.4e18) + int(i * 1e9 / fps)
+        write_png(cam_dir / f"{ts_ns}.png", img)
+        cam_lines.append(f"{ts_ns},{ts_ns}.png")
+        C = -np.asarray(R).T @ np.asarray(t)
+        q = rotation_to_quat(np.asarray(R).T)     # body==cam -> world
+        gt_lines.append(
+            f"{ts_ns},{C[0]:.6f},{C[1]:.6f},{C[2]:.6f},"
+            f"{q[3]:.6f},{q[0]:.6f},{q[1]:.6f},{q[2]:.6f},"
+            "0,0,0,0,0,0,0,0,0")
+    (root / "mav0" / "cam0" / "data.csv").write_text(
+        "#timestamp [ns],filename\n" + "\n".join(cam_lines) + "\n")
+    (gt_dir / "data.csv").write_text(
+        "#timestamp,p_x,p_y,p_z,q_w,q_x,q_y,q_z,...\n"
+        + "\n".join(gt_lines) + "\n")
+
+
+def rotation_to_quat(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> quaternion (qx, qy, qz, qw); inverse of
+    data/tum.py quat_to_rotation."""
+    R = np.asarray(R, np.float64)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        qw = 0.25 * s
+        qx = (R[2, 1] - R[1, 2]) / s
+        qy = (R[0, 2] - R[2, 0]) / s
+        qz = (R[1, 0] - R[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[3] = (R[k, j] - R[j, k]) / s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        qx, qy, qz, qw = q
+    return np.array([qx, qy, qz, qw])
 
 
 def vo_sequence(rng: np.random.Generator, num_frames: int = 60,

@@ -46,6 +46,29 @@ def radtan_distort(
     return xd, yd
 
 
+def radtan_undistort_points(
+    xd: np.ndarray,
+    yd: np.ndarray,
+    k1: float = 0.0,
+    k2: float = 0.0,
+    p1: float = 0.0,
+    p2: float = 0.0,
+    k3: float = 0.0,
+    iters: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Invert the radtan model (distorted -> ideal normalized coords) by
+    fixed-point iteration — the same scheme as OpenCV's undistortPoints."""
+    x, y = np.array(xd, np.float64), np.array(yd, np.float64)
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    return x, y
+
+
 def undistort_maps(
     intrinsics: dict, dist: dict, height: int, width: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -58,7 +58,8 @@ class Slam:
     """
 
     def __init__(self, cfg: SlamConfig, camera: PinholeCamera,
-                 async_backend: bool = False, **vo_kwargs):
+                 async_backend: bool = False,
+                 solve_timeout_s: float = 30.0, **vo_kwargs):
         self.cfg = cfg
         self.camera = camera
         self.vo = VisualOdometry(cfg, camera, **vo_kwargs)
@@ -70,9 +71,13 @@ class Slam:
         self.num_loop_closures = 0
         self._worker = None
         if async_backend:
-            from tinyslam_tpu.parallel.pipeline import AsyncWorker
+            # Supervised worker (utils/faults.Watchdog): a crashed or hung
+            # pose-graph solve is detected at the next frame boundary and the
+            # worker is rebuilt + the solve resubmitted — tracking never
+            # blocks on (or dies with) the back-end.
+            from tinyslam_tpu.utils.faults import Watchdog
 
-            self._worker = AsyncWorker()
+            self._worker = Watchdog(solve_timeout_s=solve_timeout_s)
 
     # ------------- keyframe bookkeeping -------------
     def _sync_new_keyframes(self):

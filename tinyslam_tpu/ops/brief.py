@@ -127,14 +127,19 @@ def brief_descriptors_binned(
     # exact (a one-hot dot is a copy).
     col_onehot = jax.nn.one_hot(
         bx[:, None] + jnp.arange(ps)[None, :], w, dtype=jnp.float32)
+    # precision=DEFAULT (bf16 multiplies): these are the front-end's dominant
+    # MXU FLOPs and descriptor bits tolerate bf16 rounding; the framework-wide
+    # float32 default (tinyslam_tpu/__init__.py) exists for the GEOMETRY path.
     patches = jnp.einsum(
         "nrw,ncw->nrc", rows, col_onehot,
-        preferred_element_type=jnp.float32)              # (N, ps, ps)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)             # (N, ps, ps)
 
     diff = jax.lax.dot_general(
         patches.reshape(n, ps * ps), D,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (N, bins*256)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)             # (N, bins*256)
     bits_all = (diff > 0).reshape(n, bins, 256)
 
     two_pi = 2.0 * np.pi

@@ -148,3 +148,74 @@ def restore_vo(vo, path) -> None:
         (np.asarray(R, np.float32), np.asarray(t, np.float32))
         for R, t in meta["trajectory"]
     ]
+
+
+# ---------------- Slam (VO + loop-closure state) ----------------
+
+def save_slam(slam, path) -> None:
+    """Checkpoint a Slam instance: the inner VO plus the loop-closure layer
+    (per-keyframe features/signatures/poses, pose-graph edges)."""
+    path = Path(path).resolve()
+    save_vo(slam.vo, path / "vo")
+    ckptr = ocp.StandardCheckpointer()
+    state = {
+        "kf_store": [_features_dict(f) for f in slam.kf_store],
+        "kf_R": [np.asarray(R) for R in slam.kf_R],
+        "kf_t": [np.asarray(t) for t in slam.kf_t],
+        "kf_signatures": [np.asarray(s) for s in slam.kf_signatures],
+    }
+    if slam.kf_store:
+        ckptr.save(path / "slam_arrays", state)
+        ckptr.wait_until_finished()
+    meta = {
+        "num_keyframes": len(slam.kf_store),
+        "num_loop_closures": slam.num_loop_closures,
+        "edges": [
+            [int(i), int(j), np.asarray(R).tolist(), np.asarray(t).tolist(),
+             float(w)]
+            for i, j, R, t, w in slam.edges
+        ],
+    }
+    (path / "slam_meta.json").write_text(json.dumps(meta))
+
+
+def restore_slam(slam, path) -> None:
+    """Restore state saved by save_slam into a freshly-constructed Slam
+    (same config)."""
+    import jax.numpy as jnp
+
+    from tinyslam_tpu.types import Features
+
+    path = Path(path).resolve()
+    restore_vo(slam.vo, path / "vo")
+    meta = json.loads((path / "slam_meta.json").read_text())
+    n = meta["num_keyframes"]
+    slam.kf_store, slam.kf_signatures = [], []
+    slam.kf_R, slam.kf_t = [], []
+    if n:
+        cap = slam.cfg.frontend.max_features
+        target = {
+            "kf_store": [_features_dict(_empty_features(cap))] * n,
+            "kf_R": [np.zeros((3, 3), np.float32)] * n,
+            "kf_t": [np.zeros(3, np.float32)] * n,
+            "kf_signatures": [np.zeros(256, np.float32)] * n,
+        }
+        target = jax.tree.map(np.asarray, target)
+        ckptr = ocp.StandardCheckpointer()
+        state = ckptr.restore(path / "slam_arrays", target)
+        for k in range(n):
+            d = state["kf_store"][k]
+            slam.kf_store.append(Features(
+                xy=jnp.asarray(d["xy"]), level=jnp.asarray(d["level"]),
+                angle=jnp.asarray(d["angle"]), score=jnp.asarray(d["score"]),
+                desc=jnp.asarray(d["desc"]), valid=jnp.asarray(d["valid"]),
+            ))
+            slam.kf_R.append(np.asarray(state["kf_R"][k]))
+            slam.kf_t.append(np.asarray(state["kf_t"][k]))
+            slam.kf_signatures.append(np.asarray(state["kf_signatures"][k]))
+    slam.num_loop_closures = meta["num_loop_closures"]
+    slam.edges = [
+        (int(i), int(j), np.asarray(R, np.float32), np.asarray(t, np.float32),
+         float(w))
+        for i, j, R, t, w in meta["edges"]
+    ]

@@ -1,0 +1,155 @@
+"""Accuracy evaluation on realistic rendered sequences (BASELINE configs 3-5
+stand-ins: the sandbox has no network access, so TUM fr1 / EuRoC MH_01 frames
+cannot be fetched; these sequences reproduce their *statistics* — full
+resolution, real intrinsics AND lens distortion, handheld/MAV motion,
+vignetting, auto-exposure hunting, sensor noise, 8-bit quantization — and are
+written to disk in the real dataset layouts so the eval exercises the actual
+loaders (native PNG decode, radtan undistortion) end to end.
+
+    python tools/eval_ate.py [--frames N] [--out EVAL.json] [--keep DIR]
+
+Prints one JSON line per sequence and writes the combined artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_fr1_desk_like(root: Path, num_frames: int) -> None:
+    from tinyslam_tpu.data.synthetic import (
+        TexturedRoom, handheld_trajectory, render_sequence, write_tum_sequence,
+    )
+    from tinyslam_tpu.data.tum import FR1_DIST, FR1_INTRINSICS
+    from tinyslam_tpu.geometry.camera import PinholeCamera
+
+    rng = np.random.default_rng(101)
+    room = TexturedRoom(rng, tex_res=64, octaves=2)
+    cam = PinholeCamera.create(**FR1_INTRINSICS)
+    poses = handheld_trajectory(rng, num_frames)
+    frames = render_sequence(rng, poses, cam, 640, 480, room, dist=FR1_DIST)
+    write_tum_sequence(root, frames, poses, fps=30.0)
+
+
+def build_mh01_like(root: Path, num_frames: int) -> None:
+    from tinyslam_tpu.data.euroc import EUROC_CAM0, EUROC_DIST
+    from tinyslam_tpu.data.synthetic import (
+        TexturedRoom, mav_trajectory, render_sequence, write_euroc_sequence,
+    )
+    from tinyslam_tpu.geometry.camera import PinholeCamera
+
+    rng = np.random.default_rng(202)
+    room = TexturedRoom(rng, half_size=(8.0, 5.0, 8.0), tex_res=64, octaves=2)
+    cam = PinholeCamera.create(**EUROC_CAM0)
+    poses = mav_trajectory(rng, num_frames)
+    frames = render_sequence(rng, poses, cam, 752, 480, room, dist=EUROC_DIST)
+    write_euroc_sequence(root, frames, poses, fps=20.0)
+
+
+def run_sequence(name: str, kind: str, root: Path, mode: str) -> dict:
+    import jax.numpy as jnp
+
+    from tinyslam_tpu.config import SlamConfig
+    from tinyslam_tpu.geometry.camera import PinholeCamera
+    from tinyslam_tpu.models import Slam, VisualOdometry
+    from tinyslam_tpu.utils.evaluation import ate_rmse, rpe
+
+    if kind == "tum":
+        from tinyslam_tpu.data.tum import FR1_INTRINSICS, TumSequence
+
+        seq = TumSequence.open(root)
+        cam = PinholeCamera.create(**FR1_INTRINSICS)
+    else:
+        from tinyslam_tpu.data.euroc import EUROC_CAM0, EurocSequence
+
+        seq = EurocSequence.open(root)
+        cam = PinholeCamera.create(**EUROC_CAM0)
+    gt = seq.gt_positions()
+
+    cfg = SlamConfig()
+    system = Slam(cfg, cam) if mode == "slam" else VisualOdometry(cfg, cam)
+    t0 = time.time()
+    n = 0
+    for ts, img in seq.frames():
+        im = jnp.asarray(img)
+        (system.process_frame if mode == "slam" else system.process)(im)
+        n += 1
+    wall = time.time() - t0
+    vo = system.vo if mode == "slam" else system
+    tracked = sum(1 for s in vo.stats if s.tracking)
+    first = next((i for i, s in enumerate(vo.stats) if s.tracking), 0)
+    est = vo.positions
+    m = min(len(est), len(gt))
+    ate = ate_rmse(est[first:m], gt[first:m])
+    rpe_t, rpe_r = rpe(vo.trajectory[first:m],
+                       [(R, t) for _, R, t in seq.groundtruth][first:m])
+    out = {
+        "sequence": name,
+        "mode": mode,
+        "frames": n,
+        "tracked": tracked,
+        "keyframes": vo.num_keyframes,
+        "loop_closures": getattr(system, "num_loop_closures", 0),
+        "ate_rmse_m": round(ate, 4),
+        "rpe_trans_m": round(rpe_t, 4),
+        "rpe_rot_deg": round(rpe_r, 3),
+        "fps": round(n / wall, 1),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--out", default="EVAL.json")
+    ap.add_argument("--keep", help="keep generated sequences in this dir")
+    ap.add_argument("--mode", choices=["vo", "slam"], default="slam")
+    ap.add_argument("--only", choices=["fr1", "mh01"])
+    args = ap.parse_args()
+
+    work = Path(args.keep) if args.keep else Path(tempfile.mkdtemp())
+    results = []
+    try:
+        if args.only in (None, "fr1"):
+            d = work / "fr1_desk_like"
+            if not (d / "rgb.txt").exists():
+                print(f"building fr1_desk_like ({args.frames} frames)...",
+                      flush=True)
+                build_fr1_desk_like(d, args.frames)
+            results.append(run_sequence("fr1_desk_like", "tum", d, args.mode))
+        if args.only in (None, "mh01"):
+            d = work / "mh01_like"
+            if not (d / "mav0").exists():
+                print(f"building mh01_like ({args.frames} frames)...",
+                      flush=True)
+                build_mh01_like(d, args.frames)
+            results.append(run_sequence("mh01_like", "euroc", d, args.mode))
+    finally:
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+
+    artifact = {
+        "target_ate_m": 0.05,
+        "note": ("rendered sequences with real-dataset statistics "
+                 "(intrinsics+distortion+photometrics); no network access "
+                 "to the actual TUM/EuRoC files in this environment"),
+        "results": results,
+    }
+    Path(args.out).write_text(json.dumps(artifact, indent=2))
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
