@@ -136,8 +136,13 @@ class VOConfig(_JsonMixin):
                                        # the map starves while the window
                                        # churns (ORB-SLAM has the same gate)
     keyframe_critical_inliers: int = 30  # below -> keyframe NOW, interval or not
-    reloc_hypotheses: int = 128        # PnP-RANSAC hypotheses when tracking
-                                       # is lost (absolute pose, no prior)
+    reloc_hypotheses: int = 512        # PnP-RANSAC hypotheses when tracking
+                                       # is lost (absolute pose, no prior).
+                                       # At realistic reloc inlier rates
+                                       # (~45%) an all-inlier 6-point sample
+                                       # has p~0.8%, so hundreds of batched
+                                       # hypotheses are needed — they are one
+                                       # vmapped eigh, cheap on TPU.
     track_two_pass: bool = True        # re-match + re-optimize with refined pose
     min_parallax_deg: float = 1.5      # bootstrap/triangulation parallax gate
 

@@ -124,10 +124,15 @@ def _dlt_pose(cam: PinholeCamera, X: jax.Array, uv: jax.Array,
     """Weighted DLT absolute pose from >= 6 3D-2D matches.
 
     Builds the 2n x 12 homogeneous system for P = [R|t] in NORMALIZED image
-    coords, solves via the smallest eigenvector of the 12x12 normal matrix
-    (eigh — symmetric, so it stays fast on TPU, unlike nonsymmetric
-    eigen/quartic solvers), then projects the 3x3 block onto SO(3) with a
-    3x3 SVD and fixes scale/chirality by the depth sign.
+    coords and solves for its null vector via SVD of A (condition number k,
+    not the k^2 of the eigh-on-normal-matrix form — the difference between
+    usable and garbage minimal-sample poses in float32), then projects the
+    3x3 block onto SO(3) with a 3x3 SVD and fixes scale/chirality by the
+    depth sign.
+
+    The 3D points are Hartley-normalized first (weighted centroid at the
+    origin, RMS radius sqrt(3)); without this, minimal 6-point samples are
+    so ill-conditioned in f32 that even all-inlier samples vote near zero.
 
     Args: X (N, 3), uv (N, 2) pixels, w (N,) weights (0 disables a row).
     Returns (R, t).  Degenerate inputs yield garbage poses — callers score
@@ -136,25 +141,35 @@ def _dlt_pose(cam: PinholeCamera, X: jax.Array, uv: jax.Array,
     x = (uv[:, 0] - cam.cx) / cam.fx
     y = (uv[:, 1] - cam.cy) / cam.fy
     n = X.shape[0]
+
+    # Hartley normalization of the world points (weighted).
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    c = jnp.sum(X * w[:, None], axis=0) / wsum                     # centroid
+    r = jnp.sqrt(jnp.sum(jnp.sum((X - c) ** 2, axis=1) * w) / wsum)
+    s = jnp.sqrt(3.0) / jnp.maximum(r, 1e-9)
+    Xn = (X - c) * s
+
     zeros = jnp.zeros((n, 4), X.dtype)
-    Xh = jnp.concatenate([X, jnp.ones((n, 1), X.dtype)], axis=1)   # (N, 4)
+    Xh = jnp.concatenate([Xn, jnp.ones((n, 1), X.dtype)], axis=1)  # (N, 4)
     rows_u = jnp.concatenate([Xh, zeros, -x[:, None] * Xh], axis=1)
     rows_v = jnp.concatenate([zeros, Xh, -y[:, None] * Xh], axis=1)
     A = jnp.concatenate([rows_u * w[:, None], rows_v * w[:, None]], axis=0)
-    M = A.T @ A                                                    # (12, 12)
-    _, vecs = jnp.linalg.eigh(M)
-    p = vecs[:, 0].reshape(3, 4)                                   # smallest
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    p = Vt[-1].reshape(3, 4)                       # null vector of A
     Rp, tp = p[:, :3], p[:, 3]
     # Scale: ||R|| should have unit singular values.
-    U, s, Vt = jnp.linalg.svd(Rp)
-    R = U @ Vt
+    U, sv, Vr = jnp.linalg.svd(Rp)
+    R = U @ Vr
     detR = jnp.linalg.det(R)
     R = R * detR                                 # det +1 (flips sign if -1)
     # The det factor also absorbs the +-p null-vector sign: Rp = lam*R_true
-    # with lam of either sign; det(U Vt) = sign(lam), so R is always the
-    # true rotation and scale = det * 3/sum(s) = 1/lam recovers t exactly.
-    scale = detR * 3.0 / jnp.maximum(jnp.sum(s), 1e-12)
-    t = tp * scale
+    # with lam of either sign; det(U Vr) = sign(lam), so R is always the
+    # true rotation and scale = det * 3/sum(sv) = 1/lam recovers t exactly.
+    scale = detR * 3.0 / jnp.maximum(jnp.sum(sv), 1e-12)
+    tn = tp * scale
+    # Undo the normalization: R(s(X - c)) + tn projects like R X + t with
+    # t = tn/s - R c (projection is invariant to the positive factor s).
+    t = tn / s - R @ c
     return R, t
 
 
@@ -166,48 +181,108 @@ def pnp_ransac(
     uv: jax.Array,
     valid: jax.Array,
     key: jax.Array,
-    num_hypotheses: int = 128,
-    sample_size: int = 8,
+    num_hypotheses: int = 256,
+    sample_size: int = 6,
     inlier_px: float = 6.0,
     refine_iters: int = 8,
+    R_prior: jax.Array | None = None,
+    t_prior: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
-    """Absolute-pose RANSAC: batched DLT hypotheses, inlier vote, GN polish.
+    """Absolute-pose LO-RANSAC: batched DLT hypotheses, inlier vote, then
+    local optimization restricted to the winning hypothesis's inliers.
 
-    The relocalization initializer (no pose prior — pnp_refine alone is a
-    LOCAL method and cannot recover from a stale pose).  All hypotheses are
-    solved in one vmap — RANSAC as a batch, not a loop (SURVEY §7: batched
-    hypotheses are the TPU shape of RANSAC).
+    The relocalization initializer (no pose prior needed — pnp_refine alone
+    is a LOCAL method and cannot recover from a stale pose).  All hypotheses
+    are solved in one vmap — RANSAC as a batch, not a loop (SURVEY §7:
+    batched hypotheses are the TPU shape of RANSAC).
+
+    ``R_prior``/``t_prior`` (optional): a stale-but-plausible pose (e.g. the
+    pre-crash pose after a checkpoint restore) appended to the hypothesis
+    pool; it wins the vote iff it still explains more matches than any
+    sampled hypothesis.
+
+    Design notes (both matter at realistic reloc inlier rates of ~40-50%):
+    - ``sample_size=6`` is the DLT minimum (11 DoF / 2 eqs per point); the
+      probability of an all-inlier sample is p^S, so every extra sample
+      point beyond 6 costs ~2x hypotheses at p=0.5.
+    - The polish refines on the BEST HYPOTHESIS'S voted inliers, then
+      expands once (re-collect inliers under the refined pose, re-refine).
+      Refining on *all* matches — the naive choice — diverges even from the
+      true pose when outliers are the majority: Huber only bounds each
+      outlier's influence, it does not zero it.
 
     Returns dict with R, t, inliers (N,), num_inliers, rmse.
     """
-    n = X.shape[0]
-    vf = valid.astype(X.dtype)
-    # Importance-free sampling with invalid entries pushed out by weighting:
-    # sample indices proportional to validity.
+    # Sample indices proportional to validity (invalid entries pushed out).
     logits = jnp.where(valid, 0.0, -1e9)
     idx = jax.random.categorical(
         key, logits[None, :], axis=-1,
         shape=(num_hypotheses, sample_size))           # (H, S)
 
     def hyp(sample_idx):
-        w = jnp.zeros((n,), X.dtype).at[sample_idx].add(1.0) * vf
-        return _dlt_pose(cam, X, uv, w)
+        # Gather the minimal sample: the DLT then solves a (2S, 12) system
+        # instead of weighting all N rows — 512 hypotheses are one vmapped
+        # small SVD, not 512 full-size ones.
+        Xs = X[sample_idx]
+        uvs = uv[sample_idx]
+        return _dlt_pose(cam, Xs, uvs, jnp.ones((sample_size,), X.dtype))
 
     Rs, ts = jax.vmap(hyp)(idx)                        # (H, 3, 3), (H, 3)
+    if R_prior is not None:
+        Rs = jnp.concatenate([Rs, R_prior[None]], axis=0)
+        ts = jnp.concatenate([ts, t_prior[None]], axis=0)
 
-    def score(R, t):
+    def inlier_mask(R, t):
         pc = X @ R.T + t
         z = jnp.maximum(pc[:, 2], 1e-6)
         u = cam.fx * pc[:, 0] / z + cam.cx
         v = cam.fy * pc[:, 1] / z + cam.cy
         err = jnp.linalg.norm(jnp.stack([u, v], -1) - uv, axis=-1)
-        inl = valid & (pc[:, 2] > 1e-4) & (err < inlier_px)
-        return jnp.sum(inl.astype(jnp.int32))
+        return valid & (pc[:, 2] > 1e-4) & (err < inlier_px)
 
-    votes = jax.vmap(score)(Rs, ts)                    # (H,)
-    best = jnp.argmax(votes)
-    R0, t0 = Rs[best], ts[best]
-    out = pnp_refine(cam, X, uv, valid, R0, t0,
-                     iters=refine_iters, inlier_px=inlier_px)
-    out["hypothesis_inliers"] = votes[best]
-    return out
+    votes = jax.vmap(
+        lambda R, t: jnp.sum(inlier_mask(R, t).astype(jnp.int32)))(Rs, ts)
+
+    # Locally optimize the TOP-K hypotheses, not just the winner: repetitive
+    # structure produces wrong consensus modes whose raw vote can beat the
+    # true pose's; after refinement the true mode's support wins.  K refines
+    # are one vmapped batch — the TPU-natural width/depth trade.
+    top_k = 16
+    _, top = jax.lax.top_k(votes, top_k)
+
+    def polish(h):
+        R0, t0 = Rs[h], ts[h]
+        m0 = inlier_mask(R0, t0)
+        m0 = jnp.where(jnp.sum(m0.astype(jnp.int32)) >= 6, m0, valid)
+        o = pnp_refine(cam, X, uv, m0, R0, t0,
+                       iters=refine_iters, inlier_px=inlier_px)
+        # One expansion round: matches that became consistent under the
+        # refined pose join the set; refine again on the expanded consensus.
+        m1 = inlier_mask(o["R"], o["t"])
+        m1 = jnp.where(jnp.sum(m1.astype(jnp.int32)) >= 6, m1, m0)
+        o = pnp_refine(cam, X, uv, m1, o["R"], o["t"],
+                       iters=4, inlier_px=inlier_px)
+        final = inlier_mask(o["R"], o["t"])
+        return o["R"], o["t"], jnp.sum(final.astype(jnp.int32))
+
+    Rk, tk, nk = jax.vmap(polish)(top)
+    win = jnp.argmax(nk)
+    R_best, t_best = Rk[win], tk[win]
+
+    # Report inliers/rmse against the FULL match set, not the consensus
+    # subset, so callers' track-quality gates see the real support.
+    final = inlier_mask(R_best, t_best)
+    pc = X @ R_best.T + t_best
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    u = cam.fx * pc[:, 0] / z + cam.cx
+    v = cam.fy * pc[:, 1] / z + cam.cy
+    err = jnp.linalg.norm(jnp.stack([u, v], -1) - uv, axis=-1)
+    n_in = jnp.maximum(jnp.sum(final.astype(jnp.float32)), 1.0)
+    return {
+        "R": R_best,
+        "t": t_best,
+        "inliers": final,
+        "num_inliers": jnp.sum(final.astype(jnp.int32)),
+        "rmse": jnp.sqrt(jnp.sum(jnp.where(final, err * err, 0.0)) / n_in),
+        "hypothesis_inliers": votes[top[win]],
+    }

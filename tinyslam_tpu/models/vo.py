@@ -274,6 +274,11 @@ class VisualOdometry:
         self.trajectory: list[tuple[np.ndarray, np.ndarray]] = []
         self.stats: list[VOStats] = []
         self.kf_poses_log: list[tuple[int, np.ndarray, np.ndarray]] = []
+        # Force global relocalization on the next frame regardless of stats
+        # history — set by checkpoint restore (the restored pose is stale by
+        # however many frames elapsed after the snapshot, and stats are not
+        # persisted, so the history-based trigger below cannot fire).
+        self.force_reloc = False
 
     # ---------------- keyframe window ----------------
     def _push_keyframe(self, R, t, feats: Features, kf_id: int):
@@ -525,7 +530,9 @@ class VisualOdometry:
         # ---- tracking ----
         Rv, tv = self.vel
         R_pred, t_pred = se3_compose(Rv, tv, self.R, self.t)
-        relocalizing = bool(self.stats) and not self.stats[-1].tracking
+        relocalizing = self.force_reloc or (
+            bool(self.stats) and not self.stats[-1].tracking)
+        self.force_reloc = False
         if relocalizing:
             # Lost last frame: the prediction is unreliable — GLOBAL matching
             # plus absolute-pose RANSAC (pnp_refine alone is a local method
@@ -541,6 +548,10 @@ class VisualOdometry:
                 num_hypotheses=cfg.vo.reloc_hypotheses,
                 inlier_px=cfg.vo.pnp_inlier_px,
                 refine_iters=cfg.vo.pnp_iters,
+                # The stale pose as one extra hypothesis: after a restore or
+                # a brief occlusion it is often still the best initializer,
+                # and it costs one vote pass.
+                R_prior=R_pred, t_prior=t_pred,
             )
         else:
             idx, mvalid = _match_to_map(
@@ -580,17 +591,25 @@ class VisualOdometry:
         if n_in >= 20 and pose_finite and st.rmse_px < 3.0 * cfg.vo.pnp_inlier_px:
             R_prev, t_prev = self.R, self.t
             self.R, self.t = out["R"], out["t"]
-            Ri, ti = se3_inverse(R_prev, t_prev)
-            Rv, tv = se3_compose(self.R, self.t, Ri, ti)
-            # Low-pass the constant-velocity model: per-frame translation
-            # along the optical axis is weakly observable against distant
-            # structure, and feeding raw frame-to-frame deltas back as the
-            # next prediction amplifies that noise into oscillation.
-            from tinyslam_tpu.geometry.se3 import se3_exp as _exp, se3_log as _log
+            if relocalizing:
+                # The previous pose was stale (that's why we relocalized);
+                # a velocity computed from it would be a huge bogus delta.
+                self.vel = se3_identity()
+            else:
+                Ri, ti = se3_inverse(R_prev, t_prev)
+                Rv, tv = se3_compose(self.R, self.t, Ri, ti)
+                # Low-pass the constant-velocity model: per-frame translation
+                # along the optical axis is weakly observable against distant
+                # structure, and feeding raw frame-to-frame deltas back as the
+                # next prediction amplifies that noise into oscillation.
+                from tinyslam_tpu.geometry.se3 import (
+                    se3_exp as _exp,
+                    se3_log as _log,
+                )
 
-            xi_new = _log(Rv, tv)
-            xi_old = _log(*self.vel)
-            self.vel = _exp(0.6 * xi_new + 0.4 * xi_old)
+                xi_new = _log(Rv, tv)
+                xi_old = _log(*self.vel)
+                self.vel = _exp(0.6 * xi_new + 0.4 * xi_old)
             st.tracking = True
         else:
             # Tracking lost: hold the last pose and reset the motion model —

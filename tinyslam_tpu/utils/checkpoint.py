@@ -148,6 +148,12 @@ def restore_vo(vo, path) -> None:
         (np.asarray(R, np.float32), np.asarray(t, np.float32))
         for R, t in meta["trajectory"]
     ]
+    # NOTE: restore_vo resumes EXACTLY where saved (bit-identical
+    # continuation, tests/test_checkpoint.py).  Crash recovery — where the
+    # restored pose is stale by however many frames elapsed after the
+    # snapshot — is SnapshotPolicy.restore_latest, which sets
+    # ``vo.force_reloc`` so the first post-restore frame relocalizes
+    # globally instead of trusting the stale prediction.
 
 
 # ---------------- Slam (VO + loop-closure state) ----------------

@@ -164,6 +164,12 @@ class SnapshotPolicy:
                     restore_slam(system, path)
                 else:
                     restore_vo(system, path)
+                # Crash-recovery semantics: the world moved on between the
+                # snapshot and the crash, so the restored pose is stale —
+                # force global relocalization (PnP-RANSAC with the stale
+                # pose as one prior hypothesis) on the first frame instead
+                # of the guided path's trust in a fresh prediction.
+                getattr(system, "vo", system).force_reloc = True
                 return path
             except Exception:
                 continue
