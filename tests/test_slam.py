@@ -84,6 +84,30 @@ def test_slam_async_backend_matches_sync(out_and_back):
         slam.close()
 
 
+def test_device_slam_runs_and_closes_loops(out_and_back):
+    """DeviceSlam: the same loop-closure layer over the chunked device
+    tracker — keyframes sync from VOState.win_feats at chunk boundaries,
+    corrections apply functionally to the device state."""
+    from tinyslam_tpu.models.slam import DeviceSlam
+
+    cam, images, gt_poses = out_and_back
+    slam = DeviceSlam(_cfg(), cam, chunk=8)
+    slam.run(images)
+    assert slam.vo.initialized
+    ntrk = sum(1 for s in slam.vo.stats if s.tracking)
+    assert ntrk > 0.7 * len(images), f"tracked {ntrk}/{len(images)}"
+    assert slam.num_loop_closures >= 1
+    # Keyframe bookkeeping is consistent across the device/host boundary.
+    n = len(slam.kf_R)
+    assert n == slam.vo.num_keyframes == len(slam.kf_store)
+    for i, j, _, _, w in slam.edges:
+        assert 0 <= i < n and 0 <= j < n and w > 0
+    gt_pos = np.stack([-(R.T @ t) for R, t in gt_poses])
+    first = next(i for i, s in enumerate(slam.vo.stats) if s.tracking)
+    ate = ate_rmse(slam.positions[first:], gt_pos[first:])
+    assert ate < 0.6, f"ATE {ate:.3f}"
+
+
 def test_async_worker_latest_wins():
     import time
 

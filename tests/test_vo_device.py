@@ -73,6 +73,41 @@ def test_device_vo_matches_host_quality(sequence):
         f"device ATE {ate_dev:.4f} vs host {ate_host:.4f}")
 
 
+def test_device_vo_checkpoint_crash_restore(tmp_path, sequence):
+    """Kill a DeviceVO mid-sequence; a fresh instance restored from the last
+    periodic snapshot (the whole VOState is one Orbax pytree) must
+    relocalize against the restored device-resident map and keep tracking
+    (VERDICT r2 item 4: the flagship tracker must be checkpointable)."""
+    from tinyslam_tpu.utils.faults import SnapshotPolicy
+
+    cam, images, _, _ = sequence
+    tmp = tmp_path / "snaps"
+    policy = SnapshotPolicy(tmp, every_keyframes=1, keep=2)
+    vo = DeviceVO(_small_cfg(), cam, chunk=8)
+    crash_at = 28
+    for im in images[:crash_at]:
+        vo.process(im)
+        policy.maybe_snapshot(vo)
+    vo.flush()
+    n_kf = vo.num_keyframes
+    assert policy.snapshots(), "no snapshot before the crash"
+    del vo
+
+    vo2 = DeviceVO(_small_cfg(), cam, chunk=8)
+    assert policy.restore_latest(vo2) is not None
+    assert vo2.initialized
+    # The snapshot may predate keyframes created by the final (flushed)
+    # chunk; it must still hold a usable map from >= 3 keyframes.
+    assert 3 <= vo2.num_keyframes <= n_kf
+    assert vo2.force_reloc            # crash-recovery reloc armed
+    for im in images[crash_at:]:
+        vo2.process(im)
+    vo2.flush()
+    post = vo2.stats[crash_at:]
+    tracked = sum(1 for s in post if s.tracking)
+    assert tracked >= len(post) - 3, f"only {tracked}/{len(post)} re-tracked"
+
+
 def test_device_vo_partial_chunk(sequence):
     """flush() with a partial buffer must produce identical results to a
     chunk-aligned run (inactive steps are identity on the carry)."""

@@ -65,13 +65,13 @@ def eight_point_essential(
     A = (h2[..., :, None] * h1[..., None, :]).reshape(*h1.shape[:-1], 9)
     if weights is not None:
         A = A * weights[..., None]
-    # Null vector of A via QR + small SVD: QR reduces (N, 9) to an (<=9, 9)
-    # triangular factor with cond(R) = cond(A) — unlike the normal matrix
-    # A^T A, which squares the condition number and loses the null space in
-    # float32 for minimal 8-point samples.
-    _, r = jnp.linalg.qr(A)
-    _, _, vt = jnp.linalg.svd(r, full_matrices=True)
-    e = vt[..., -1, :]
+    # Null vector via eigh of the 9x9 normal matrix (geometry/linalg.py: no
+    # SVD in compiled paths — minutes of TPU compile per shape).  The normal
+    # matrix squares the condition number; the Hartley normalization above
+    # is what keeps the f32 null space recoverable for minimal samples.
+    from tinyslam_tpu.geometry.linalg import null_vector
+
+    e = null_vector(A)
     En = e.reshape(*e.shape[:-1], 3, 3)
     # Denormalize: x2^T E x1 = x2n^T En x1n with xin = Ti xi  =>  E = T2^T En T1.
     def T(c, s):
@@ -89,8 +89,10 @@ def eight_point_essential(
     s1 = s1[..., 0]
     s2 = s2[..., 0]
     E = jnp.swapaxes(T(c2, s2), -1, -2) @ En @ T(c1, s1)
-    # Project to the essential manifold.
-    u, s, vt2 = jnp.linalg.svd(E)
+    # Project to the essential manifold (singular values -> (1, 1, 0)).
+    from tinyslam_tpu.geometry.linalg import svd3
+
+    u, s, vt2 = svd3(E)
     sig = jnp.ones_like(s).at[..., 2].set(0.0)
     return (u * sig[..., None, :]) @ vt2
 
@@ -114,7 +116,9 @@ def sampson_error(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
 def decompose_essential(E: jax.Array):
     """E -> two rotations and the unit translation: the four candidate poses
     are (R1, +-t), (R2, +-t)."""
-    u, _, vt = jnp.linalg.svd(E)
+    from tinyslam_tpu.geometry.linalg import svd3
+
+    u, _, vt = svd3(E)
     # Enforce proper rotations.
     du = jnp.linalg.det(u)[..., None, None]
     dv = jnp.linalg.det(vt)[..., None, None]

@@ -265,8 +265,14 @@ def five_point_essential(x1: jax.Array, x2: jax.Array) -> jax.Array:
     h1 = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
     h2 = jnp.concatenate([x2, jnp.ones_like(x2[..., :1])], axis=-1)
     A = (h2[..., :, None] * h1[..., None, :]).reshape(*h1.shape[:-2], 5, 9)
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    basis = vt[..., 5:9, :].reshape(*vt.shape[:-2], 4, 3, 3)  # E1..E4
+    # Exact 4-dim null space of the minimal 5x9 constraint matrix via
+    # complete QR of A^T (linalg.py: full f32 accuracy, no SVD, no
+    # condition-number squaring — the Nister resultant construction needs
+    # the basis at f32 precision, which the normal-matrix route cannot give).
+    from tinyslam_tpu.geometry.linalg import exact_null_space
+
+    vecs = exact_null_space(A, 4)                       # (..., 9, 4)
+    basis = jnp.swapaxes(vecs, -1, -2).reshape(*A.shape[:-2], 4, 3, 3)
 
     M = five_point_constraint_matrix(basis)
     poly10, (Ar, Br, Cr) = nister_degree10(M)

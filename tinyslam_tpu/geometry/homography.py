@@ -54,9 +54,12 @@ def four_point_homography(
     r1 = jnp.stack([-u1, -v1, -o, z, z, z, u2 * u1, u2 * v1, u2], axis=-1)
     r2 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1)
     A = jnp.concatenate([r1 * w[..., None], r2 * w[..., None]], axis=-2)
-    _, r = jnp.linalg.qr(A)
-    _, _, vt = jnp.linalg.svd(r, full_matrices=True)
-    h = vt[..., -1, :]
+    # Null vector via eigh of the 9x9 normal matrix (no SVD in compiled
+    # paths, geometry/linalg.py); the Hartley normalization above keeps the
+    # squared condition number survivable in f32.
+    from tinyslam_tpu.geometry.linalg import null_vector
+
+    h = null_vector(A)
     Hn = h.reshape(*h.shape[:-1], 3, 3)
 
     def T(c, s):
@@ -167,7 +170,9 @@ def decompose_homography(H: jax.Array):
     distance (scale-free overall, as always for mono).  Cheirality + support
     select the true one downstream.
     """
-    u, lam, vt = jnp.linalg.svd(H)
+    from tinyslam_tpu.geometry.linalg import svd3
+
+    u, lam, vt = svd3(H)
     s = jnp.linalg.det(u) * jnp.linalg.det(vt)
     d1, d2, d3 = lam[0], lam[1], lam[2]
     # Normalize singular values by d2.

@@ -124,15 +124,15 @@ def _dlt_pose(cam: PinholeCamera, X: jax.Array, uv: jax.Array,
     """Weighted DLT absolute pose from >= 6 3D-2D matches.
 
     Builds the 2n x 12 homogeneous system for P = [R|t] in NORMALIZED image
-    coords and solves for its null vector via SVD of A (condition number k,
-    not the k^2 of the eigh-on-normal-matrix form — the difference between
-    usable and garbage minimal-sample poses in float32), then projects the
-    3x3 block onto SO(3) with a 3x3 SVD and fixes scale/chirality by the
-    depth sign.
+    coords, solves for its null vector via eigh of the 12x12 normal matrix,
+    then projects the 3x3 block onto SO(3) with a Newton polar iteration and
+    fixes scale/chirality by the depth sign.  (No SVD anywhere: its XLA:TPU
+    lowering costs minutes of compile per shape — geometry/linalg.py.)
 
     The 3D points are Hartley-normalized first (weighted centroid at the
-    origin, RMS radius sqrt(3)); without this, minimal 6-point samples are
-    so ill-conditioned in f32 that even all-inlier samples vote near zero.
+    origin, RMS radius sqrt(3)); the normal matrix squares the condition
+    number, and without normalization minimal 6-point samples are so
+    ill-conditioned in f32 that even all-inlier samples vote near zero.
 
     Args: X (N, 3), uv (N, 2) pixels, w (N,) weights (0 disables a row).
     Returns (R, t).  Degenerate inputs yield garbage poses — callers score
@@ -154,19 +154,20 @@ def _dlt_pose(cam: PinholeCamera, X: jax.Array, uv: jax.Array,
     rows_u = jnp.concatenate([Xh, zeros, -x[:, None] * Xh], axis=1)
     rows_v = jnp.concatenate([zeros, Xh, -y[:, None] * Xh], axis=1)
     A = jnp.concatenate([rows_u * w[:, None], rows_v * w[:, None]], axis=0)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    p = Vt[-1].reshape(3, 4)                       # null vector of A
+    from tinyslam_tpu.geometry.linalg import null_vector, polar_rotation3
+
+    p = null_vector(A).reshape(3, 4)
     Rp, tp = p[:, :3], p[:, 3]
-    # Scale: ||R|| should have unit singular values.
-    U, sv, Vr = jnp.linalg.svd(Rp)
-    R = U @ Vr
-    detR = jnp.linalg.det(R)
-    R = R * detR                                 # det +1 (flips sign if -1)
-    # The det factor also absorbs the +-p null-vector sign: Rp = lam*R_true
-    # with lam of either sign; det(U Vr) = sign(lam), so R is always the
-    # true rotation and scale = det * 3/sum(sv) = 1/lam recovers t exactly.
-    scale = detR * 3.0 / jnp.maximum(jnp.sum(sv), 1e-12)
-    tn = tp * scale
+    # Nearest rotation via the polar factor; det(U) = sign(lam) for
+    # Rp = lam * R_true, so multiplying by det both fixes improper factors
+    # and absorbs the +-p null-vector sign ambiguity.
+    U = polar_rotation3(Rp)
+    detR = jnp.linalg.det(U)
+    R = U * detR
+    # R^T Rp = lam I  =>  lam = trace(R^T Rp) / 3 (signed); t = tp / lam.
+    lam = jnp.trace(R.T @ Rp) / 3.0
+    lam = jnp.where(jnp.abs(lam) > 1e-12, lam, 1e-12)
+    tn = tp / lam
     # Undo the normalization: R(s(X - c)) + tn projects like R X + t with
     # t = tn/s - R c (projection is invariant to the positive factor s).
     t = tn / s - R @ c

@@ -286,3 +286,188 @@ class Slam:
     @property
     def trajectory(self):
         return self.vo.trajectory
+
+
+class DeviceSlam(Slam):
+    """Slam over the device-resident chunked tracker (models/vo_device.py).
+
+    The host-driven Slam makes ~12 device->host readbacks per frame; this
+    variant tracks in ``lax.scan`` chunks (one dispatch + one readback per
+    CHUNK) and runs the loop-closure layer at chunk boundaries:
+
+    - after each chunk the new keyframes are pulled from the device window
+      (``VOState.win_feats`` — their features live there, BA-refined poses
+      included; the host Slam's `kf_feats`-fallback fragility is gone);
+    - place recognition + pose-graph optimization run on the host/worker as
+      in Slam (they are per-KEYFRAME, latency-tolerant work — the PP-analog
+      split of SURVEY §2d);
+    - corrections are applied functionally to the device state between
+      chunks (landmark re-anchoring, window poses, live pose).
+
+    Keyframe features are recovered from the window by kf_id; a keyframe
+    that rolled out of the window within a single chunk (pathological
+    keyframe churn) degrades gracefully: its pose comes from the tracked
+    trajectory and its features are empty (it can seed no loop closures).
+    """
+
+    def __init__(self, cfg: SlamConfig, camera: PinholeCamera,
+                 chunk: int = 16, async_backend: bool = False,
+                 solve_timeout_s: float = 30.0):
+        super().__init__(cfg, camera, async_backend=async_backend,
+                         solve_timeout_s=solve_timeout_s)
+        from tinyslam_tpu.models.vo_device import DeviceVO
+
+        self.vo = DeviceVO(cfg, camera, chunk=chunk)
+        self._synced_stats = 0          # stats entries scanned for keyframes
+        self._kf_frame: dict[int, int] = {}   # kf_id -> frame index fallback
+
+    # ------------- keyframe sync (chunk granularity) -------------
+    def process_frame(self, image):
+        vo = self.vo
+        was_init = vo.state is not None
+        pending_before = len(vo._pending)
+        vo.process(image)
+        if vo.state is not None and not was_init:
+            self._sync_bootstrap()
+        elif len(vo._pending) > pending_before:
+            self._sync_chunk()
+        return vo.stats[-1] if vo.stats else None
+
+    def _append_keyframe(self, kf_id: int, R, t, feats: Features):
+        assert kf_id == len(self.kf_store)
+        self.kf_R.append(np.asarray(R))
+        self.kf_t.append(np.asarray(t))
+        self.kf_store.append(feats)
+        self.kf_signatures.append(np.asarray(_kf_signature(feats)))
+        if kf_id > 0:
+            Rp, tp = self.kf_R[kf_id - 1], self.kf_t[kf_id - 1]
+            Ri, ti = se3_inverse(jnp.asarray(Rp), jnp.asarray(tp))
+            Re, te = se3_compose(jnp.asarray(R), jnp.asarray(t), Ri, ti)
+            self.edges.append(
+                (kf_id - 1, kf_id, np.asarray(Re), np.asarray(te), 1.0))
+            self._detect_loop(kf_id)
+
+    def _sync_bootstrap(self):
+        """Bootstrap ran on the host tracker; pull its two keyframes."""
+        h = self.vo._host
+        for kf_id, R, t in h.kf_poses_log:
+            feats = h.kf0_feats if kf_id == 0 else h.kf_feats
+            self._append_keyframe(kf_id, R, t, feats)
+        self._synced_stats = len(self.vo.stats)
+        self._refresh_window_poses()
+
+    def _sync_chunk(self):
+        vo = self.vo
+        vo.flush()                      # materialize pending summaries
+        state = vo.state
+        # Map device-phase keyframe stats to kf ids (pose fallback for
+        # keyframes that rolled out of the window within one chunk).
+        new_stats = vo.stats[self._synced_stats:]
+        next_kf = (max(self._kf_frame) + 1) if self._kf_frame else len(
+            self.kf_store)
+        for i, s in enumerate(new_stats):
+            if s.is_keyframe:
+                self._kf_frame[next_kf] = self._synced_stats + i
+                next_kf += 1
+        self._synced_stats = len(vo.stats)
+
+        total = int(state.num_keyframes)
+        if total > len(self.kf_store):
+            win_kf = np.asarray(state.win_kf_id)
+            win_valid = np.asarray(state.win_valid)
+            for kf_id in range(len(self.kf_store), total):
+                slots = np.nonzero(win_valid & (win_kf == kf_id))[0]
+                if len(slots):
+                    slot = int(slots[0])
+                    feats = jax.tree.map(lambda x: x[slot], state.win_feats)
+                    R = np.asarray(state.win_R[slot])
+                    t = np.asarray(state.win_t[slot])
+                else:
+                    feats = Features.empty(self.cfg.frontend.max_features)
+                    frame = self._kf_frame.get(kf_id)
+                    if frame is not None and frame < len(vo.trajectory):
+                        R, t = vo.trajectory[frame]
+                    else:
+                        R, t = self.kf_R[-1], self.kf_t[-1]
+                self._append_keyframe(kf_id, R, t, feats)
+        self._refresh_window_poses()
+        if self._worker is not None:
+            res = self._worker.poll()
+            if res is not None:
+                self._apply_graph_result(*res)
+
+    def _refresh_window_poses(self):
+        state = self.vo.state
+        if state is None:
+            return
+        win_valid = np.asarray(state.win_valid)
+        win_kf = np.asarray(state.win_kf_id)
+        win_R = np.asarray(state.win_R)
+        win_t = np.asarray(state.win_t)
+        for slot in range(len(win_valid)):
+            kf_id = int(win_kf[slot])
+            if win_valid[slot] and 0 <= kf_id < len(self.kf_R):
+                self.kf_R[kf_id] = win_R[slot]
+                self.kf_t[kf_id] = win_t[slot]
+
+    # ------------- corrections into device state -------------
+    def _apply_graph_result(self, snap, solved):
+        state = self.vo.state
+        if state is None:
+            return
+        R_old, t_old, _ = snap
+        R_new, t_new = solved
+        n = len(R_old)
+        total = len(self.kf_R)
+        if total > n:
+            # Keyframes created while the solve ran: carry them by the
+            # newest snapshot node's correction (same as the host Slam).
+            cR, ct = se3_compose(
+                jnp.asarray(R_new[n - 1]), jnp.asarray(t_new[n - 1]),
+                *se3_inverse(jnp.asarray(R_old[n - 1]),
+                             jnp.asarray(t_old[n - 1])),
+            )
+            ext_old_R = np.stack(self.kf_R[n:])
+            ext_old_t = np.stack(self.kf_t[n:])
+            ext_new = [
+                se3_compose(cR, ct, jnp.asarray(r), jnp.asarray(tt))
+                for r, tt in zip(ext_old_R, ext_old_t)
+            ]
+            R_old = np.concatenate([R_old, ext_old_R])
+            t_old = np.concatenate([t_old, ext_old_t])
+            R_new = np.concatenate(
+                [R_new, np.stack([np.asarray(e[0]) for e in ext_new])])
+            t_new = np.concatenate(
+                [t_new, np.stack([np.asarray(e[1]) for e in ext_new])])
+            n = total
+        Ro, to_ = jnp.asarray(R_old), jnp.asarray(t_old)
+        Rn, tn = jnp.asarray(R_new), jnp.asarray(t_new)
+        new_X = _reanchor_landmarks(
+            state.map.X, state.map.anchor_kf, state.map.valid, Ro, to_, Rn, tn)
+        win_R, win_t = state.win_R, state.win_t
+        win_valid = np.asarray(state.win_valid)
+        win_kf = np.asarray(state.win_kf_id)
+        for slot in range(len(win_valid)):
+            kf_id = int(win_kf[slot])
+            if win_valid[slot] and 0 <= kf_id < n:
+                win_R = win_R.at[slot].set(Rn[kf_id])
+                win_t = win_t.at[slot].set(tn[kf_id])
+        corr_R, corr_t = se3_compose(
+            Rn[n - 1], tn[n - 1], *se3_inverse(Ro[n - 1], to_[n - 1]))
+        live_R, live_t = se3_compose(corr_R, corr_t, state.R, state.t)
+        self.vo.state = state.replace(
+            map=state.map.replace(X=new_X),
+            win_R=win_R, win_t=win_t, R=live_R, t=live_t,
+        )
+        for i in range(n):
+            self.kf_R[i] = np.asarray(R_new[i])
+            self.kf_t[i] = np.asarray(t_new[i])
+
+    def finalize(self):
+        """Flush the tracker's partial chunk, sync stragglers, apply any
+        in-flight pose-graph solve; idempotent."""
+        if self.vo.state is not None:
+            self._sync_chunk()
+        else:
+            self.vo.flush()
+        super().finalize()

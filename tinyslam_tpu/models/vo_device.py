@@ -80,6 +80,37 @@ class VOState:
     last_tracking: jax.Array    # () bool
     threshold: jax.Array        # () float32 — adaptive FAST threshold
 
+    @staticmethod
+    def empty(cfg: SlamConfig) -> "VOState":
+        """A zero state with the config's static shapes — the restore target
+        for checkpointing (utils/checkpoint.save_device_vo) and the template
+        for multi-chip dryruns."""
+        K = cfg.ba.max_keyframes
+        M = cfg.vo.max_map_points
+        cap = cfg.frontend.max_features
+        empty_feats = Features.empty(cap)
+        return VOState(
+            map=MapState.empty(M),
+            win_R=jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (K, 1, 1)),
+            win_t=jnp.zeros((K, 3), jnp.float32),
+            win_obs=jnp.zeros((K, M, 2), jnp.float32),
+            win_mask=jnp.zeros((K, M), bool),
+            win_valid=jnp.zeros((K,), bool),
+            win_kf_id=jnp.full((K,), -1, jnp.int32),
+            win_feats=jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (K, *x.shape)).copy(),
+                empty_feats),
+            R=jnp.eye(3, dtype=jnp.float32),
+            t=jnp.zeros((3,), jnp.float32),
+            vel_R=jnp.eye(3, dtype=jnp.float32),
+            vel_t=jnp.zeros((3,), jnp.float32),
+            num_keyframes=jnp.int32(0),
+            frames_since_kf=jnp.int32(0),
+            frame_idx=jnp.int32(0),
+            last_tracking=jnp.asarray(False),
+            threshold=jnp.float32(cfg.frontend.threshold),
+        )
+
 
 # Packed per-frame summary layout (float32): keep in sync with VOStats use.
 SUMMARY_FIELDS = (
@@ -284,7 +315,10 @@ def track_step(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
         out = pnp_ransac(
             cam, state.map.X[idx], feats.xy, mvalid, key,
             num_hypotheses=cfg.vo.reloc_hypotheses,
-            inlier_px=cfg.vo.pnp_inlier_px, refine_iters=cfg.vo.pnp_iters)
+            inlier_px=cfg.vo.pnp_inlier_px, refine_iters=cfg.vo.pnp_iters,
+            # The stale pose as one extra hypothesis (same as the host loop):
+            # after a restore or brief occlusion it is often still closest.
+            R_prior=R_pred, t_prior=t_pred)
         out = {k: out[k] for k in ("R", "t", "inliers", "num_inliers", "rmse")}
         return idx, mvalid, out
 
@@ -316,17 +350,21 @@ def track_step(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
     tracking = (n_in >= 20) & pose_finite & (
         out["rmse"] < 3.0 * cfg.vo.pnp_inlier_px)
 
-    # Accept: update pose + low-passed constant-velocity model.
+    # Accept: update pose + low-passed constant-velocity model.  After a
+    # RELOC accept the previous pose was stale (that's why we relocalized),
+    # so the frame-to-frame delta is bogus — reset the velocity instead
+    # (mirrors models/vo.py).
     Ri, ti = se3_inverse(state.R, state.t)
     Rv_new, tv_new = se3_compose(out["R"], out["t"], Ri, ti)
     xi = 0.6 * se3_log(Rv_new, tv_new) + 0.4 * se3_log(state.vel_R, state.vel_t)
     vel_R_acc, vel_t_acc = se3_exp(xi)
     vel_id_R, vel_id_t = se3_identity()
+    use_vel = tracking & state.last_tracking
     state = state.replace(
         R=jnp.where(tracking, out["R"], state.R),
         t=jnp.where(tracking, out["t"], state.t),
-        vel_R=jnp.where(tracking, vel_R_acc, vel_id_R),
-        vel_t=jnp.where(tracking, vel_t_acc, vel_id_t),
+        vel_R=jnp.where(use_vel, vel_R_acc, vel_id_R),
+        vel_t=jnp.where(use_vel, vel_t_acc, vel_id_t),
         last_tracking=tracking,
         frames_since_kf=state.frames_since_kf + 1,
         frame_idx=state.frame_idx + 1,
@@ -496,6 +534,33 @@ class DeviceVO:
     @property
     def initialized(self) -> bool:
         return self.state is not None
+
+    @property
+    def num_keyframes(self) -> int:
+        if self.state is None:
+            return self._host.num_keyframes
+        return int(self.state.num_keyframes)
+
+    @property
+    def map(self):
+        """Landmark slotmap (device-resident once initialized)."""
+        return self._host.map if self.state is None else self.state.map
+
+    @property
+    def force_reloc(self) -> bool:
+        """Crash-recovery hook (utils/faults.SnapshotPolicy): setting True
+        forces global relocalization on the next tracked frame.  On-device
+        the trigger IS ``last_tracking`` — the reloc branch of track_step."""
+        if self.state is None:
+            return self._host.force_reloc
+        return not bool(self.state.last_tracking)
+
+    @force_reloc.setter
+    def force_reloc(self, value: bool) -> None:
+        if self.state is None:
+            self._host.force_reloc = bool(value)
+        elif value:
+            self.state = self.state.replace(last_tracking=jnp.asarray(False))
 
     @property
     def positions(self) -> np.ndarray:

@@ -24,6 +24,12 @@ def main(argv=None) -> int:
     ap.add_argument("--root", help="sequence directory (tum/euroc)")
     ap.add_argument("--config", help="SlamConfig JSON file")
     ap.add_argument("--mode", choices=["vo", "slam"], default="slam")
+    ap.add_argument("--tracker", choices=["device", "host"], default="device",
+                    help="device = chunked lax.scan tracker (one readback "
+                         "per chunk, the flagship path); host = per-frame "
+                         "host-decision loop (debug/reference)")
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="frames per device dispatch (device tracker)")
     ap.add_argument("--frames", type=int, default=0, help="limit frame count")
     ap.add_argument("--output", help="trajectory output (TUM format)")
     ap.add_argument("--metrics", help="metrics JSON output")
@@ -36,9 +42,13 @@ def main(argv=None) -> int:
     import numpy as np
     import jax.numpy as jnp
 
+    from tinyslam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from tinyslam_tpu.config import SlamConfig
     from tinyslam_tpu.geometry.camera import PinholeCamera
-    from tinyslam_tpu.models import Slam, VisualOdometry
+    from tinyslam_tpu.models import DeviceSlam, DeviceVO, Slam, VisualOdometry
     from tinyslam_tpu.utils.evaluation import ate_rmse
     from tinyslam_tpu.utils.metrics import Metrics
 
@@ -84,7 +94,12 @@ def main(argv=None) -> int:
         if seq.groundtruth:
             gt_positions = seq.gt_positions()
 
-    system = (Slam if args.mode == "slam" else VisualOdometry)(cfg, cam)
+    if args.mode == "slam":
+        system = (DeviceSlam(cfg, cam, chunk=args.chunk)
+                  if args.tracker == "device" else Slam(cfg, cam))
+    else:
+        system = (DeviceVO(cfg, cam, chunk=args.chunk)
+                  if args.tracker == "device" else VisualOdometry(cfg, cam))
     metrics = Metrics()
     t0 = time.time()
     n_frames = 0
@@ -98,11 +113,16 @@ def main(argv=None) -> int:
             st = (system.process_frame(jnp.asarray(img))
                   if args.mode == "slam" else system.process(jnp.asarray(img)))
         metrics.step()
-        metrics.record("features", st.num_features)
-        metrics.record("inliers", st.num_inliers)
-        metrics.record("tracking", int(st.tracking))
+        if st is not None:  # device tracker stats lag by one chunk
+            metrics.record("features", st.num_features)
+            metrics.record("inliers", st.num_inliers)
+            metrics.record("tracking", int(st.tracking))
         timestamps.append(ts)
         n_frames += 1
+    if hasattr(system, "finalize"):
+        system.finalize()
+    elif hasattr(system, "flush"):
+        system.flush()
     wall = time.time() - t0
 
     vo = system.vo if args.mode == "slam" else system

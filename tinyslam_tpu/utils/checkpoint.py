@@ -67,7 +67,10 @@ def _features_dict(f) -> dict:
 
 
 def save_vo(vo, path) -> None:
-    """Checkpoint a VisualOdometry (or Slam().vo) instance."""
+    """Checkpoint a VisualOdometry / DeviceVO (or Slam().vo) instance."""
+    if hasattr(vo, "state"):                  # DeviceVO
+        save_device_vo(vo, path)
+        return
     path = Path(path).resolve()
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path / "arrays", _vo_state_pytree(vo))
@@ -95,6 +98,9 @@ def restore_vo(vo, path) -> None:
     (same config)."""
     import jax.numpy as jnp
 
+    if hasattr(vo, "state"):                  # DeviceVO
+        restore_device_vo(vo, path)
+        return
     path = Path(path).resolve()
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree.map(np.asarray, _vo_state_pytree(vo))
@@ -154,6 +160,123 @@ def restore_vo(vo, path) -> None:
     # snapshot — is SnapshotPolicy.restore_latest, which sets
     # ``vo.force_reloc`` so the first post-restore frame relocalizes
     # globally instead of trusting the stale prediction.
+
+
+# ---------------- DeviceVO (device-resident VOState) ----------------
+
+def save_device_vo(dvo, path) -> None:
+    """Checkpoint a DeviceVO: the entire device-resident VOState is one
+    pytree -> one Orbax checkpoint; host-side bookkeeping (trajectory,
+    stats) goes to meta.json.  Pre-bootstrap instances delegate to the host
+    tracker's checkpoint."""
+    path = Path(path).resolve()
+    dvo.flush()                     # materialize pending chunk summaries
+    if dvo.state is None:
+        save_vo(dvo._host, path / "host")
+        meta = {"device": False, "frame_idx": dvo._frame_idx}
+        (path / "device_meta.json").write_text(json.dumps(meta))
+        return
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "state", jax.tree.map(np.asarray, _state_dict(dvo.state)))
+    ckptr.wait_until_finished()
+    meta = {
+        "device": True,
+        "frame_idx": dvo._frame_idx,
+        "trajectory": [
+            [np.asarray(R).tolist(), np.asarray(t).tolist()]
+            for R, t in dvo.trajectory
+        ],
+        "stats": [
+            {"frame": s.frame, "num_features": s.num_features,
+             "num_matches": s.num_matches, "num_inliers": s.num_inliers,
+             "num_landmarks": s.num_landmarks,
+             "is_keyframe": s.is_keyframe, "tracking": s.tracking,
+             "rmse_px": s.rmse_px}
+            for s in dvo.stats
+        ],
+    }
+    (path / "device_meta.json").write_text(json.dumps(meta))
+
+
+def _state_dict(state) -> dict:
+    """VOState -> plain nested dict (stable layout for Orbax)."""
+    return {
+        "map": {
+            "X": state.map.X, "desc": state.map.desc,
+            "valid": state.map.valid, "anchor_kf": state.map.anchor_kf,
+            "obs_count": state.map.obs_count, "last_seen": state.map.last_seen,
+        },
+        "win": {
+            "R": state.win_R, "t": state.win_t, "obs": state.win_obs,
+            "mask": state.win_mask, "valid": state.win_valid,
+            "kf_id": state.win_kf_id,
+        },
+        "win_feats": _features_dict(state.win_feats),
+        "pose": {"R": state.R, "t": state.t},
+        "vel": {"R": state.vel_R, "t": state.vel_t},
+        "scalars": {
+            "num_keyframes": state.num_keyframes,
+            "frames_since_kf": state.frames_since_kf,
+            "frame_idx": state.frame_idx,
+            "last_tracking": state.last_tracking,
+            "threshold": state.threshold,
+        },
+    }
+
+
+def restore_device_vo(dvo, path) -> None:
+    """Restore save_device_vo output into a fresh DeviceVO (same config)."""
+    import jax.numpy as jnp
+
+    from tinyslam_tpu.models.vo import VOStats
+    from tinyslam_tpu.models.vo_device import VOState
+    from tinyslam_tpu.types import Features
+
+    path = Path(path).resolve()
+    meta = json.loads((path / "device_meta.json").read_text())
+    if not meta["device"]:
+        restore_vo(dvo._host, path / "host")
+        dvo._frame_idx = meta["frame_idx"]
+        dvo.trajectory = list(dvo._host.trajectory)
+        dvo.stats = list(dvo._host.stats)
+        if dvo._host.initialized:
+            dvo.state = dvo._lift_state()
+        return
+    template = VOState.empty(dvo.cfg)
+    target = jax.tree.map(np.asarray, _state_dict(template))
+    ckptr = ocp.StandardCheckpointer()
+    st = ckptr.restore(path / "state", target)
+    j = jnp.asarray
+    dvo.state = VOState(
+        map=type(template.map)(
+            X=j(st["map"]["X"]), desc=j(st["map"]["desc"]),
+            valid=j(st["map"]["valid"]), anchor_kf=j(st["map"]["anchor_kf"]),
+            obs_count=j(st["map"]["obs_count"]),
+            last_seen=j(st["map"]["last_seen"]),
+        ),
+        win_R=j(st["win"]["R"]), win_t=j(st["win"]["t"]),
+        win_obs=j(st["win"]["obs"]), win_mask=j(st["win"]["mask"]),
+        win_valid=j(st["win"]["valid"]), win_kf_id=j(st["win"]["kf_id"]),
+        win_feats=Features(
+            xy=j(st["win_feats"]["xy"]), level=j(st["win_feats"]["level"]),
+            angle=j(st["win_feats"]["angle"]),
+            score=j(st["win_feats"]["score"]),
+            desc=j(st["win_feats"]["desc"]), valid=j(st["win_feats"]["valid"]),
+        ),
+        R=j(st["pose"]["R"]), t=j(st["pose"]["t"]),
+        vel_R=j(st["vel"]["R"]), vel_t=j(st["vel"]["t"]),
+        num_keyframes=j(st["scalars"]["num_keyframes"]),
+        frames_since_kf=j(st["scalars"]["frames_since_kf"]),
+        frame_idx=j(st["scalars"]["frame_idx"]),
+        last_tracking=j(st["scalars"]["last_tracking"]),
+        threshold=j(st["scalars"]["threshold"]),
+    )
+    dvo._frame_idx = meta["frame_idx"]
+    dvo.trajectory = [
+        (np.asarray(R, np.float32), np.asarray(t, np.float32))
+        for R, t in meta["trajectory"]
+    ]
+    dvo.stats = [VOStats(**s) for s in meta["stats"]]
 
 
 # ---------------- Slam (VO + loop-closure state) ----------------

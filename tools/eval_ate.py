@@ -56,12 +56,13 @@ def build_mh01_like(root: Path, num_frames: int) -> None:
     write_euroc_sequence(root, frames, poses, fps=20.0)
 
 
-def run_sequence(name: str, kind: str, root: Path, mode: str) -> dict:
+def run_sequence(name: str, kind: str, root: Path, mode: str,
+                 tracker: str = "device") -> dict:
     import jax.numpy as jnp
 
     from tinyslam_tpu.config import SlamConfig
     from tinyslam_tpu.geometry.camera import PinholeCamera
-    from tinyslam_tpu.models import Slam, VisualOdometry
+    from tinyslam_tpu.models import DeviceSlam, DeviceVO, Slam, VisualOdometry
     from tinyslam_tpu.utils.evaluation import ate_rmse, rpe
 
     if kind == "tum":
@@ -77,13 +78,22 @@ def run_sequence(name: str, kind: str, root: Path, mode: str) -> dict:
     gt = seq.gt_positions()
 
     cfg = SlamConfig()
-    system = Slam(cfg, cam) if mode == "slam" else VisualOdometry(cfg, cam)
+    if mode == "slam":
+        system = (DeviceSlam(cfg, cam) if tracker == "device"
+                  else Slam(cfg, cam))
+    else:
+        system = (DeviceVO(cfg, cam) if tracker == "device"
+                  else VisualOdometry(cfg, cam))
     t0 = time.time()
     n = 0
     for ts, img in seq.frames():
         im = jnp.asarray(img)
         (system.process_frame if mode == "slam" else system.process)(im)
         n += 1
+    if hasattr(system, "finalize"):
+        system.finalize()
+    elif hasattr(system, "flush"):
+        system.flush()
     wall = time.time() - t0
     vo = system.vo if mode == "slam" else system
     tracked = sum(1 for s in vo.stats if s.tracking)
@@ -96,6 +106,7 @@ def run_sequence(name: str, kind: str, root: Path, mode: str) -> dict:
     out = {
         "sequence": name,
         "mode": mode,
+        "tracker": tracker,
         "frames": n,
         "tracked": tracked,
         "keyframes": vo.num_keyframes,
@@ -115,8 +126,13 @@ def main() -> int:
     ap.add_argument("--out", default="EVAL.json")
     ap.add_argument("--keep", help="keep generated sequences in this dir")
     ap.add_argument("--mode", choices=["vo", "slam"], default="slam")
+    ap.add_argument("--tracker", choices=["device", "host"], default="device")
     ap.add_argument("--only", choices=["fr1", "mh01"])
     args = ap.parse_args()
+
+    from tinyslam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     work = Path(args.keep) if args.keep else Path(tempfile.mkdtemp())
     results = []
@@ -127,14 +143,16 @@ def main() -> int:
                 print(f"building fr1_desk_like ({args.frames} frames)...",
                       flush=True)
                 build_fr1_desk_like(d, args.frames)
-            results.append(run_sequence("fr1_desk_like", "tum", d, args.mode))
+            results.append(run_sequence("fr1_desk_like", "tum", d, args.mode,
+                                        args.tracker))
         if args.only in (None, "mh01"):
             d = work / "mh01_like"
             if not (d / "mav0").exists():
                 print(f"building mh01_like ({args.frames} frames)...",
                       flush=True)
                 build_mh01_like(d, args.frames)
-            results.append(run_sequence("mh01_like", "euroc", d, args.mode))
+            results.append(run_sequence("mh01_like", "euroc", d, args.mode,
+                                        args.tracker))
     finally:
         if not args.keep:
             shutil.rmtree(work, ignore_errors=True)
