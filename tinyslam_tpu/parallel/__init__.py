@@ -18,6 +18,22 @@ BASELINE config 5:
 """
 
 from tinyslam_tpu.parallel.mesh import make_mesh, initialize_multihost  # noqa: F401
-from tinyslam_tpu.parallel.frontend_dp import extract_features_batch  # noqa: F401
-from tinyslam_tpu.parallel.dist_ba import bundle_adjust_sharded  # noqa: F401
-from tinyslam_tpu.parallel.dist_pose_graph import optimize_pose_graph_sharded  # noqa: F401
+
+# The remaining exports are lazy (PEP 562): ``initialize_multihost`` must be
+# callable BEFORE the XLA backend initializes (jax.distributed.initialize
+# refuses otherwise), and the kernel modules build jnp constants at import.
+_LAZY = {
+    "extract_features_batch": "tinyslam_tpu.parallel.frontend_dp",
+    "bundle_adjust_sharded": "tinyslam_tpu.parallel.dist_ba",
+    "optimize_pose_graph_sharded": "tinyslam_tpu.parallel.dist_pose_graph",
+}
+
+__all__ = ["make_mesh", "initialize_multihost", *_LAZY]
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
