@@ -49,7 +49,7 @@ def _render_room_sequence(n_frames: int, width: int = 640, height: int = 480):
     return cam, frames
 
 
-def bench_tracked(chunk: int = 16, chunks_timed: int = 4,
+def bench_tracked(chunk: int = 32, chunks_timed: int = 4,
                   rounds: int = 3) -> dict:
     import jax
     import jax.numpy as jnp
@@ -77,8 +77,8 @@ def bench_tracked(chunk: int = 16, chunks_timed: int = 4,
 
     # Warm-up chunk: pays compile (or loads the persistent cache).
     state, ys = track_chunk(cam, cfg, state, mk(i), active)
-    jax.block_until_ready(ys["summary"])
-    i += chunk
+    np.asarray(ys["summary"])  # full readback: block_until_ready does not
+    i += chunk                 # reliably block through the axon relay
 
     chunk_imgs = []
     while i + chunk <= len(frames) and len(chunk_imgs) < chunks_timed:
@@ -94,7 +94,7 @@ def bench_tracked(chunk: int = 16, chunks_timed: int = 4,
         for imgs in chunk_imgs:
             st, ys = track_chunk(cam, cfg, st, imgs, active)
             outs.append(ys)
-        jax.block_until_ready(outs[-1]["summary"])
+        np.asarray(outs[-1]["summary"])  # readback = real synchronization
         dt = time.perf_counter() - t0
         n = chunk * len(chunk_imgs)
         per_round.append(n / dt)
@@ -142,13 +142,13 @@ def _measure_frontend(cfg, frames, warm, rounds: int = 4):
 
     t = jnp.float32(cfg.threshold)
     f = jax.jit(lambda im, t: extract_features(im, t, cfg))
-    jax.block_until_ready(f(warm, t))
+    np.asarray(f(warm, t).count)
     per_round = []
     n = len(frames)
     for _ in range(rounds):
         t0 = time.perf_counter()
         outs = [f(im, t) for im in frames]
-        jax.block_until_ready(outs)
+        np.asarray(outs[-1].count)  # readback = real synchronization
         per_round.append(n / (time.perf_counter() - t0))
         frames = [im + np.float32(1e-6) for im in frames]
     return float(np.median(per_round))

@@ -292,10 +292,15 @@ def _bundle_adjust_core(
         # A masked cost can only be compared when the active-residual sets
         # are comparable: a divergent step that pushes points behind the
         # cameras empties the mask and scores a spurious cost of 0.
+        # Shedding guard: rejecting any step that loses active residuals.
+        # The earlier 90% allowance compounded over iterations — 10 LM steps
+        # could silently fling ~2/3 of the window landmarks behind the
+        # cameras while "reducing" the (shrinking) masked cost, which is
+        # exactly the tracking collapse observed at max_iters=10.
         accept = (
             jnp.isfinite(cost_new)
             & (cost_new < cost)
-            & (num_ok_new >= (9 * state.num_ok) // 10)
+            & (num_ok_new >= state.num_ok)
         )
         accept &= preduce(
             jnp.all(jnp.isfinite(X_new)).astype(jnp.int32)

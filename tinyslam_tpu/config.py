@@ -113,7 +113,12 @@ class BAConfig(_JsonMixin):
 
     max_keyframes: int = 10        # sliding window (BASELINE config 4)
     max_landmarks: int = 2048      # static landmark-block capacity
-    max_iters: int = 10            # LM outer iterations
+    max_iters: int = 6             # LM outer iterations.  More is NOT
+                                   # better here: the window refits after
+                                   # every keyframe, so per-insert LM only
+                                   # needs to re-converge a warm solution
+                                   # (measured: 10 iters tracks no better
+                                   # than 6 and costs 1.3 ms/iter)
     damping_init: float = 1e-3
     damping_up: float = 10.0
     damping_down: float = 0.5
@@ -128,7 +133,13 @@ class VOConfig(_JsonMixin):
     max_map_points: int = 8192     # fixed-capacity landmark store
     pnp_iters: int = 8             # Gauss-Newton iterations for pose tracking
     pnp_inlier_px: float = 4.0     # reprojection inlier threshold (pixels)
-    keyframe_min_inliers: int = 60     # below -> new keyframe
+    keyframe_min_inliers: int = 150    # below -> new keyframe.  Eager
+                                       # cadence (ORB-SLAM-style): waiting
+                                       # until ~60 leaves the map nearly
+                                       # exhausted between keyframes, so
+                                       # tracking rides the 20-inlier floor
+                                       # (measured min inliers 3 vs 34 on
+                                       # the orbit bench)
     keyframe_max_interval: int = 20    # frames
     keyframe_min_interval: int = 3     # min frames between keyframes: back-to-
                                        # back keyframes have ~zero baseline, so
@@ -144,6 +155,12 @@ class VOConfig(_JsonMixin):
                                        # hypotheses are needed — they are one
                                        # vmapped eigh, cheap on TPU.
     track_two_pass: bool = True        # re-match + re-optimize with refined pose
+    second_pass_below: int = 150       # run the second pass only when the
+                                       # first yields fewer inliers: its job
+                                       # is rescuing weak frames; a frame
+                                       # already above the keyframe-health
+                                       # threshold gains nothing measurable
+                                       # and the skip saves ~0.9 ms/frame
     min_parallax_deg: float = 1.5      # bootstrap/triangulation parallax gate
 
 

@@ -60,7 +60,8 @@ class MapState:
         )
 
 
-@functools.partial(jax.jit, static_argnames=("max_distance", "ratio"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_distance", "ratio", "radius_px"))
 def _match_to_map(feats: Features, map_state: MapState, max_distance: int,
                   ratio: float, cam: PinholeCamera | None = None,
                   R: jax.Array | None = None, t: jax.Array | None = None,
@@ -69,20 +70,23 @@ def _match_to_map(feats: Features, map_state: MapState, max_distance: int,
     GUIDED matching: a map point is only eligible within `radius_px` of its
     predicted projection — removing globally-ambiguous matches under
     repetitive texture and keeping PnP in its convergence basin."""
-    pair_mask = None
+    xy_a = proj = None
     if R is not None:
         pc = map_state.X @ R.T + t                     # (M, 3)
         z = jnp.maximum(pc[..., 2], 1e-6)
         u = cam.fx * pc[..., 0] / z + cam.cx
         v = cam.fy * pc[..., 1] / z + cam.cy
-        proj = jnp.stack([u, v], axis=-1)              # (M, 2)
         in_front = pc[..., 2] > 1e-4
-        d2 = jnp.sum((feats.xy[:, None, :] - proj[None, :, :]) ** 2, axis=-1)
-        pair_mask = (d2 < radius_px * radius_px) & in_front[None, :]
+        # Behind-camera landmarks: park the projection far outside any
+        # radius so the gate rejects every pairing (branch-free in_front).
+        far = jnp.float32(1e7)
+        proj = jnp.stack([jnp.where(in_front, u, far),
+                          jnp.where(in_front, v, far)], axis=-1)  # (M, 2)
+        xy_a = feats.xy
     m = match_descriptors(
         feats.desc, feats.valid, map_state.desc, map_state.valid,
         max_distance=max_distance, ratio=ratio, cross_check=True,
-        pair_mask=pair_mask,
+        xy_a=xy_a, proj_b=proj, radius_px=radius_px,
     )
     return m["idx_b"], m["valid"]
 
@@ -563,7 +567,8 @@ class VisualOdometry:
                 iters=cfg.vo.pnp_iters, inlier_px=cfg.vo.pnp_inlier_px,
             )
         st.num_matches = int(jnp.sum(mvalid))
-        if cfg.vo.track_two_pass and int(out["num_inliers"]) >= 15:
+        if cfg.vo.track_two_pass and (
+                15 <= int(out["num_inliers"]) < cfg.vo.second_pass_below):
             # Second pass (ORB-SLAM's track-local-map): with the refined
             # pose, re-match under a tighter projection radius — recovers
             # matches the coarse prediction radius missed or mis-assigned —

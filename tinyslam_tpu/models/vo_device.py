@@ -192,25 +192,40 @@ def _push_keyframe(state: VOState, R, t, feats: Features,
 
 def _local_ba(cam: PinholeCamera, cfg: SlamConfig, state: VOState) -> VOState:
     """Device analog of VisualOdometry._local_ba (skip handled by caller's
-    cond on >= 3 valid keyframes)."""
+    cond on >= 3 valid keyframes).
+
+    The BA problem is COMPACTED to the cfg.ba.max_landmarks most-observed
+    window landmarks before the LM scan: the map store is sized for the
+    whole session (max_map_points slots) but only window-visible points
+    constrain the window, so running the normal-equation kernels over every
+    slot wastes a ~4x factor of bandwidth per LM iteration (measured: 1.6ms
+    -> 0.4ms per blocks build at 8192 -> 2048).  Landmark selection is a
+    static-shape top-k on observation count; updated positions scatter back.
+    """
     from tinyslam_tpu.backend.ba import bundle_adjust
 
     K = cfg.ba.max_keyframes
+    C = min(cfg.ba.max_landmarks, cfg.vo.max_map_points)
     pose_free = state.win_valid & (jnp.arange(K) >= 2)
     z = jnp.swapaxes(state.win_obs, 0, 1)            # (M, K, 2)
     mask = jnp.swapaxes(state.win_mask, 0, 1) & state.win_valid[None, :]
-    multi_obs = jnp.sum(mask.astype(jnp.int32), axis=1) >= 2
+    obs_cnt = jnp.sum(mask.astype(jnp.int32), axis=1)
+    score = jnp.where(state.map.valid & (obs_cnt >= 2), obs_cnt, -1)
+    _, sel = jax.lax.top_k(score, C)                 # (C,)
+    sel_ok = score[sel] > 0
     out = bundle_adjust(
-        cam, state.win_R, state.win_t, state.map.X, z, mask,
-        pose_free, point_valid=state.map.valid & multi_obs,
+        cam, state.win_R, state.win_t, state.map.X[sel], z[sel], mask[sel],
+        pose_free, point_valid=sel_ok,
         max_iters=cfg.ba.max_iters, huber=cfg.ba.huber_delta,
         lam0=cfg.ba.damping_init, lam_up=cfg.ba.damping_up,
         lam_down=cfg.ba.damping_down,
     )
+    X_new = state.map.X.at[sel].set(
+        jnp.where(sel_ok[:, None], out["X"], state.map.X[sel]))
     newest = _newest_slot(state.win_kf_id)
     R_new, t_new = out["R"][newest], out["t"][newest]
     return state.replace(
-        win_R=out["R"], win_t=out["t"], map=state.map.replace(X=out["X"]),
+        win_R=out["R"], win_t=out["t"], map=state.map.replace(X=X_new),
         R=R_new, t=t_new,
     )
 
@@ -340,9 +355,10 @@ def track_step(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
             return _tree_where(better, (idx2, mvalid2, out2),
                                (idx, mvalid, out))
 
+        n1 = out["num_inliers"]
         idx, mvalid, out = jax.lax.cond(
-            out["num_inliers"] >= 15, second_pass, lambda a: a,
-            (idx, mvalid, out))
+            (n1 >= 15) & (n1 < cfg.vo.second_pass_below),
+            second_pass, lambda a: a, (idx, mvalid, out))
 
     n_in = out["num_inliers"]
     pose_finite = (jnp.all(jnp.isfinite(out["R"]))

