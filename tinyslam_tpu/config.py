@@ -173,6 +173,14 @@ class PoseGraphConfig(_JsonMixin):
     gn_iters: int = 20
     loop_min_matches: int = 40     # descriptor matches for a loop candidate
     loop_min_gap: int = 30         # keyframe index gap before closing loops
+    loop_min_inlier_ratio: float = 0.4   # PnP inliers / map matches: a true
+                                   # revisit re-finds most of the old view;
+                                   # a lookalike wall (textured rooms are
+                                   # self-similar) matches descriptors but
+                                   # PnPs a scattered inlier set.  False
+                                   # loop edges at weight 5 wreck the graph
+                                   # — gate hard.
+    loop_max_rmse_px: float = 4.0  # inlier reprojection RMSE gate
 
 
 @dataclass(frozen=True)

@@ -137,7 +137,12 @@ class Slam:
                 iters=self.cfg.vo.pnp_iters,
                 inlier_px=self.cfg.vo.pnp_inlier_px,
             )
-            if int(out["num_inliers"]) < pg.loop_min_matches:
+            n_in = int(out["num_inliers"])
+            n_cand = max(int(jnp.sum(mvalid)), 1)
+            if (n_in < pg.loop_min_matches
+                    or n_in / n_cand < pg.loop_min_inlier_ratio
+                    or not np.isfinite(float(out["rmse"]))
+                    or float(out["rmse"]) > pg.loop_max_rmse_px):
                 continue
             # Edge old -> new measured through the map: T_edge = T_new o T_old'^-1
             Ri, ti = se3_inverse(out["R"], out["t"])

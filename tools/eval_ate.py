@@ -41,6 +41,26 @@ def build_fr1_desk_like(root: Path, num_frames: int) -> None:
     write_tum_sequence(root, frames, poses, fps=30.0)
 
 
+def build_fr1_loop_like(root: Path, num_frames: int) -> None:
+    """A full-circuit handheld walk (~378 degrees) that RETURNS to its
+    start: the trajectory revisit the place-recognition stack needs to
+    demonstrate an actual loop closure (fr1's room statistics otherwise)."""
+    from tinyslam_tpu.data.synthetic import (
+        TexturedRoom, handheld_trajectory, render_sequence, write_tum_sequence,
+    )
+    from tinyslam_tpu.data.tum import FR1_DIST, FR1_INTRINSICS
+    from tinyslam_tpu.geometry.camera import PinholeCamera
+
+    rng = np.random.default_rng(303)
+    room = TexturedRoom(rng, tex_res=64, octaves=2)
+    cam = PinholeCamera.create(**FR1_INTRINSICS)
+    step = (2.0 * np.pi + 0.35) / num_frames
+    poses = handheld_trajectory(rng, num_frames, step=step,
+                                jitter_pos=0.003, jitter_tgt=0.008)
+    frames = render_sequence(rng, poses, cam, 640, 480, room, dist=FR1_DIST)
+    write_tum_sequence(root, frames, poses, fps=30.0)
+
+
 def build_mh01_like(root: Path, num_frames: int) -> None:
     from tinyslam_tpu.data.euroc import EUROC_CAM0, EUROC_DIST
     from tinyslam_tpu.data.synthetic import (
@@ -127,7 +147,7 @@ def main() -> int:
     ap.add_argument("--keep", help="keep generated sequences in this dir")
     ap.add_argument("--mode", choices=["vo", "slam"], default="slam")
     ap.add_argument("--tracker", choices=["device", "host"], default="device")
-    ap.add_argument("--only", choices=["fr1", "mh01"])
+    ap.add_argument("--only", choices=["fr1", "fr1_loop", "mh01"])
     args = ap.parse_args()
 
     from tinyslam_tpu.utils.cache import enable_compilation_cache
@@ -144,6 +164,14 @@ def main() -> int:
                       flush=True)
                 build_fr1_desk_like(d, args.frames)
             results.append(run_sequence("fr1_desk_like", "tum", d, args.mode,
+                                        args.tracker))
+        if args.only in (None, "fr1_loop"):
+            d = work / "fr1_loop_like"
+            if not (d / "rgb.txt").exists():
+                print(f"building fr1_loop_like ({args.frames} frames)...",
+                      flush=True)
+                build_fr1_loop_like(d, args.frames)
+            results.append(run_sequence("fr1_loop_like", "tum", d, args.mode,
                                         args.tracker))
         if args.only in (None, "mh01"):
             d = work / "mh01_like"

@@ -29,21 +29,9 @@ F32_FLOPS = 50e12
 
 def slope(fn, inputs, reps=9):
     """Per-call seconds: slope of K dispatches, synced by readback."""
-    import jax
+    from tinyslam_tpu.utils.profiling import dispatch_slope
 
-    r = fn(inputs[0])
-    _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[0]
-
-    def run_K(K):
-        t0 = time.perf_counter()
-        for k in range(K):
-            r = fn(inputs[k % len(inputs)])
-        _ = np.asarray(jax.tree.leaves(r)[0]).ravel()[0]
-        return time.perf_counter() - t0
-
-    d1 = min(run_K(1) for _ in range(3))
-    dR = min(run_K(reps) for _ in range(3))
-    return max((dR - d1) / (reps - 1), 1e-9)
+    return dispatch_slope(fn, inputs, reps=reps)
 
 
 def main():
