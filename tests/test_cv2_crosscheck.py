@@ -22,6 +22,9 @@ from __future__ import annotations
 import cv2
 import numpy as np
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from tinyslam_tpu.config import FrontendConfig
 from tinyslam_tpu.data.synthetic import TexturedRoom, default_camera, look_at

@@ -49,3 +49,18 @@ def test_match_respects_validity_and_distance():
     valid_b = jnp.zeros(8, bool)
     m2 = match_descriptors(jnp.asarray(da), valid, jnp.asarray(db2), valid_b)
     assert not np.asarray(m2["valid"]).any()
+
+
+def test_streaming_eligibility_matches_kernel_blocking():
+    """ADVICE r3: eligibility must track the kernel's actual blocking
+    (nb = min(256, n), mb = min(8192, m)) — m = 12288 passes a naive
+    %1024 check but would assert inside match_reduce_streaming."""
+    from tinyslam_tpu.ops.hamming import _streaming_shapes_ok as elig
+
+    assert elig(2048, 8192)
+    assert elig(256, 1024)
+    assert elig(2048, 16384)       # two exact j blocks (scratch-accumulated)
+    assert not elig(2048, 12288)   # mb=8192 would not divide M
+    assert not elig(2048, 8320)    # not a j-block multiple past 8192
+    assert not elig(7, 8192)       # n too small
+    assert not elig(2048, 100)     # m below lane tile

@@ -5,6 +5,8 @@ same accuracy, from a single dispatch per chunk."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tinyslam_tpu.config import (
     BAConfig,
     FrontendConfig,

@@ -292,15 +292,20 @@ def _bundle_adjust_core(
         # A masked cost can only be compared when the active-residual sets
         # are comparable: a divergent step that pushes points behind the
         # cameras empties the mask and scores a spurious cost of 0.
-        # Shedding guard: rejecting any step that loses active residuals.
-        # The earlier 90% allowance compounded over iterations — 10 LM steps
-        # could silently fling ~2/3 of the window landmarks behind the
-        # cameras while "reducing" the (shrinking) masked cost, which is
-        # exactly the tracking collapse observed at max_iters=10.
+        # Shedding guard: a per-step slack of 2 residuals (a legitimate step
+        # routinely moves one marginal point out of a frustum as poses
+        # refine; zero slack made that terminal — damping could only ratchet
+        # up) bounded by a hard 95%-of-initial floor so the slack cannot
+        # compound across iterations into the ~2/3 mass-shedding collapse
+        # the guard exists to prevent.
+        shed_floor = jnp.maximum(
+            state.num_ok - 2,
+            (0.95 * num_ok0.astype(jnp.float32)).astype(jnp.int32),
+        )
         accept = (
             jnp.isfinite(cost_new)
             & (cost_new < cost)
-            & (num_ok_new >= state.num_ok)
+            & (num_ok_new >= shed_floor)
         )
         accept &= preduce(
             jnp.all(jnp.isfinite(X_new)).astype(jnp.int32)

@@ -36,13 +36,21 @@ def hamming_distance_matrix(desc_a: jax.Array, desc_b: jax.Array) -> jax.Array:
     return (256 - dot) // 2
 
 
+def _streaming_shapes_ok(n: int, m: int) -> bool:
+    """Shapes divisible by the streaming kernel's actual blocking:
+    nb = min(256, n), mb = min(8192, m).  m must be lane-aligned and either
+    fit one j block or tile it exactly (e.g. m = 12288 does NOT: mb would
+    be 8192 and 12288 % 8192 != 0)."""
+    return (n >= 8 and n % min(256, n) == 0
+            and m >= 128 and m % 128 == 0
+            and (m <= 8192 or m % 8192 == 0))
+
+
 def _streaming_eligible(n: int, m: int) -> bool:
     """The Pallas streaming matcher needs TPU + block-divisible shapes."""
     import jax as _jax
 
-    return (_jax.default_backend() == "tpu"
-            and n % min(256, n) == 0 and m % min(1024, m) == 0
-            and n >= 8 and m >= 128)
+    return _jax.default_backend() == "tpu" and _streaming_shapes_ok(n, m)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -89,6 +97,12 @@ def match_descriptors(
     if use_streaming:
         from tinyslam_tpu.ops.match_pallas import PEN, match_reduce_streaming
 
+        # The penalty formulation is only equivalent to the XLA mask while
+        # a real distance can never beat a penalized one (max_distance <
+        # PEN) and a penalized second-best can never tighten the ratio test
+        # (ratio * PEN >= 256).  Enforce, instead of silently diverging.
+        assert max_distance < PEN, (max_distance, PEN)
+        assert ratio * PEN >= 256, (ratio, PEN)
         sa = descriptor_signs(desc_a)
         sbT = descriptor_signs(desc_b).T
         arow = jnp.zeros((n, 4), jnp.float32)

@@ -24,8 +24,10 @@ Kernel economics (why it is shaped this way):
     LOWEST index — the same tie-break as jnp.argmin in the XLA path.
   - second-best costs one more masked min (excluding exactly the single
     argmin element, matching the XLA path's ``d.at[argmin].set(BIG)``).
-  - the per-column running argmin lives in the kernel's OUTPUT block
-    (revisited across the i grid axis) — no dynamic-sliced scratch.
+  - the per-column running argmin accumulates in a (1, M) VMEM scratch
+    (scratch persists across the whole grid; output blocks only persist
+    across CONSECUTIVE visits, and the j-th column block is revisited
+    non-consecutively across the outer i axis).
   - invalid rows/cols and gate failures add integer penalties (> 256)
     instead of masks, so validity costs zero extra passes.
 
@@ -62,9 +64,10 @@ def _shift_for(n: int) -> int:
 
 def _kernel(a_ref, bT_ref, arow_ref, bcol_ref,
             code_ref, second_ref, colcode_ref,
-            rcode, rsec, *, radius2, guided, mb, mshift, nshift):
+            rcode, rsec, cacc, *, radius2, guided, mb, mshift, nshift):
     i = pl.program_id(0)
     j = pl.program_id(1)
+    ni = pl.num_programs(0)
     nj = pl.num_programs(1)
     nb = a_ref.shape[0]
 
@@ -109,17 +112,26 @@ def _kernel(a_ref, bT_ref, arow_ref, bcol_ref,
         code_ref[:] = rcode[:]
         second_ref[:] = rsec[:]
 
-    # ---- column side: packed argmin over rows, accumulated in the output
-    # block itself (revisited across i; Mosaic keeps/flushes it per step).
+    # ---- column side: packed argmin over rows.  The j-th output block is
+    # revisited across the OUTER grid axis i (non-consecutively when nj > 1),
+    # and Pallas TPU only guarantees output-block persistence across
+    # CONSECUTIVE visits — so the running min lives in a full-width (1, M)
+    # VMEM scratch (scratch persists across the whole grid) and the j-slice
+    # is copied into the output block on the last i visit.
     ccode = jnp.min((d << nshift) | rowg, axis=0, keepdims=True)  # (1, mb)
+    sl = pl.ds(j * mb, mb)
 
     @pl.when(i == 0)
     def _():
-        colcode_ref[:] = ccode
+        cacc[0:1, sl] = ccode
 
     @pl.when(i > 0)
     def _():
-        colcode_ref[:] = jnp.minimum(colcode_ref[:], ccode)
+        cacc[0:1, sl] = jnp.minimum(cacc[0:1, sl], ccode)
+
+    @pl.when(i == ni - 1)
+    def _():
+        colcode_ref[:] = cacc[0:1, sl]
 
 
 @functools.partial(
@@ -184,6 +196,7 @@ def match_reduce_streaming(
         scratch_shapes=[
             pltpu.VMEM((nb, 1), jnp.int32),
             pltpu.VMEM((nb, 1), jnp.int32),
+            pltpu.VMEM((1, M), jnp.int32),
         ],
         interpret=interpret,
     )(sa, sbT, arow, bcol)

@@ -13,7 +13,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -22,19 +21,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def timeit(fn, inputs, n=8):
-    """Median wall time of fn over n distinct dispatches (s)."""
-    import jax
+    """Per-call seconds of fn, relay-robust (same dispatch-slope+readback
+    methodology as tools/profile_roofline.py and bench.py — through the
+    axon relay, jax.block_until_ready is NOT a reliable barrier and a
+    synchronized call costs a ~25 ms round trip; see utils/profiling)."""
+    from tinyslam_tpu.utils.profiling import dispatch_slope
 
-    outs = [fn(*x) for x in inputs[:2]]
-    jax.block_until_ready(outs)
-    ts = []
-    for i in range(n):
-        x = inputs[i % len(inputs)]
-        t0 = time.perf_counter()
-        out = fn(*x)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return dispatch_slope(fn, inputs, reps=max(n, 4))
 
 
 def main():
