@@ -146,3 +146,64 @@ def test_dist_pose_graph_matches_single_device(mesh):
     np.testing.assert_allclose(
         np.asarray(dist["t"]), np.asarray(single["t"]), atol=5e-3)
     assert float(dist["costs"][-1]) < float(dist["costs"][0])
+
+
+def test_node_sharded_pose_graph_parity(mesh):
+    """VERDICT r3 next-step #8: the node-sharded (overlapping-Schwarz +
+    ppermute halo) pose graph converges to the replicated solver's optimum
+    on a noisy loop graph."""
+    from tests.test_pose_graph import _circle_poses, _relative
+    from tinyslam_tpu.backend.pose_graph import optimize_pose_graph
+    from tinyslam_tpu.parallel.dist_pose_graph import (
+        optimize_pose_graph_node_sharded,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 64
+    gt = _circle_poses(n)
+    from tinyslam_tpu.geometry.se3 import se3_compose, se3_exp
+
+    est = [gt[0]]
+    edges = []
+    for i in range(n - 1):
+        Rm, tm = _relative(gt[i], gt[i + 1])
+        noise = np.r_[rng.normal(0, 0.01, 3),
+                      rng.normal(0, 0.005, 3)].astype(np.float32)
+        dR, dt = se3_exp(jnp.asarray(noise))
+        Rmn, tmn = se3_compose(dR, dt, jnp.asarray(Rm), jnp.asarray(tm))
+        edges.append((i, i + 1, np.asarray(Rmn), np.asarray(tmn), 1.0))
+        Rn, tn = se3_compose(jnp.asarray(Rmn), jnp.asarray(tmn),
+                             jnp.asarray(est[-1][0]), jnp.asarray(est[-1][1]))
+        est.append((np.asarray(Rn), np.asarray(tn)))
+    # A long-range loop edge plus a mid-range one (exercise the stale-
+    # endpoint resync path, not just the chain halo).
+    for a, b, w in ((n - 1, 0, 10.0), (10, 40, 5.0)):
+        Rm, tm = _relative(gt[a], gt[b])
+        edges.append((a, b, np.asarray(Rm), np.asarray(tm), w))
+
+    E = len(edges)
+    args = (
+        jnp.asarray(np.stack([p[0] for p in est])),
+        jnp.asarray(np.stack([p[1] for p in est])),
+        jnp.asarray(np.array([e[0] for e in edges], np.int32)),
+        jnp.asarray(np.array([e[1] for e in edges], np.int32)),
+        jnp.asarray(np.stack([e[2] for e in edges])),
+        jnp.asarray(np.stack([e[3] for e in edges])),
+        jnp.asarray(np.ones(E, bool)),
+        jnp.asarray(np.array([e[4] for e in edges], np.float32)),
+    )
+    ref = optimize_pose_graph(*args, iters=25)
+    out = optimize_pose_graph_node_sharded(
+        mesh, *args, iters=80, halo=12, sync_every=4, axis="landmark")
+
+    def centers(R, t):
+        R, t = np.asarray(R), np.asarray(t)
+        return np.stack([-(R[i].T @ t[i]) for i in range(len(R))])
+
+    c_ref = centers(ref["R"], ref["t"])
+    c_out = centers(out["R"], out["t"])
+    err = np.linalg.norm(c_out - c_ref, axis=-1)
+    assert err.max() < 0.05, err.max()
+    # And both solvers actually moved the drifted estimate.
+    c_est = centers(args[0], args[1])
+    assert np.linalg.norm(c_est - c_ref, axis=-1).max() > 0.1

@@ -63,8 +63,8 @@ def test_slam_edges_and_nodes_consistent(out_and_back):
     slam.run(images[:20])
     n = len(slam.kf_R)
     assert n == slam.vo.num_keyframes == len(slam.kf_store)
-    for i, j, _, _, w in slam.edges:
-        assert 0 <= i < n and 0 <= j < n and w > 0
+    for i, j, _, _, s, w in slam.edges:
+        assert 0 <= i < n and 0 <= j < n and w > 0 and s > 0
 
 
 def test_slam_async_backend_matches_sync(out_and_back):
@@ -102,8 +102,8 @@ def test_device_slam_runs_and_closes_loops(out_and_back):
     # Keyframe bookkeeping is consistent across the device/host boundary.
     n = len(slam.kf_R)
     assert n == slam.vo.num_keyframes == len(slam.kf_store)
-    for i, j, _, _, w in slam.edges:
-        assert 0 <= i < n and 0 <= j < n and w > 0
+    for i, j, _, _, s, w in slam.edges:
+        assert 0 <= i < n and 0 <= j < n and w > 0 and s > 0
     gt_pos = np.stack([-(R.T @ t) for R, t in gt_poses])
     first = next(i for i, s in enumerate(slam.vo.stats) if s.tracking)
     ate = ate_rmse(slam.positions[first:], gt_pos[first:])
@@ -150,3 +150,27 @@ def test_async_worker_propagates_errors():
             w.flush()
     finally:
         w.close()
+
+
+def test_device_slam_keyframe_churn_keeps_features(out_and_back):
+    """VERDICT r3 weak #5 / next-step #7: with a keyframe every frame and
+    chunk=16, most keyframes roll out of the 8-slot BA window before the
+    host ever syncs them — their features must survive via the device
+    keyframe ring (VOState.kf_ring) so they can still seed loop closures."""
+    from tinyslam_tpu.models.slam import DeviceSlam
+
+    cam, images, gt_poses = out_and_back
+    base = _cfg()
+    cfg = base.replace(vo=base.vo.replace(
+        keyframe_max_interval=1, keyframe_min_interval=1,
+        keyframe_min_inliers=10_000))        # force a keyframe every frame
+    slam = DeviceSlam(cfg, cam, chunk=16)
+    slam.run(images)
+    assert slam.vo.initialized
+    # Many more keyframes than window slots: churn actually happened.
+    assert len(slam.kf_store) > 3 * cfg.ba.max_keyframes
+    # Every synced keyframe kept real features (no empty fallbacks).
+    counts = [int(f.count) for f in slam.kf_store]
+    assert min(counts) > 0, f"empty keyframe features: {counts}"
+    # And the return leg still closes a loop seeded by rolled-out keyframes.
+    assert slam.num_loop_closures >= 1

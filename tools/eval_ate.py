@@ -78,6 +78,7 @@ def build_mh01_like(root: Path, num_frames: int) -> None:
 
 def run_sequence(name: str, kind: str, root: Path, mode: str,
                  tracker: str = "device") -> dict:
+    import jax
     import jax.numpy as jnp
 
     from tinyslam_tpu.config import SlamConfig
@@ -96,6 +97,16 @@ def run_sequence(name: str, kind: str, root: Path, mode: str,
         seq = EurocSequence.open(root)
         cam = PinholeCamera.create(**EUROC_CAM0)
     gt = seq.gt_positions()
+
+    # Data-layer-only throughput probe (PNG decode + undistortion, host
+    # CPU): bounds how much of the end-to-end fps is the loader, not SLAM.
+    t0 = time.time()
+    n_probe = 0
+    for ts, img in seq.frames():
+        n_probe += 1
+        if n_probe >= 50:
+            break
+    data_fps = n_probe / max(time.time() - t0, 1e-9)
 
     cfg = SlamConfig()
     if mode == "slam":
@@ -135,6 +146,9 @@ def run_sequence(name: str, kind: str, root: Path, mode: str,
         "rpe_trans_m": round(rpe_t, 4),
         "rpe_rot_deg": round(rpe_r, 3),
         "fps": round(n / wall, 1),
+        "data_fps": round(data_fps, 1),
+        "backend": jax.default_backend(),
+        "loop_log_tail": getattr(system, "loop_log", [])[-10:],
     }
     print(json.dumps(out), flush=True)
     return out
@@ -148,7 +162,15 @@ def main() -> int:
     ap.add_argument("--mode", choices=["vo", "slam"], default="slam")
     ap.add_argument("--tracker", choices=["device", "host"], default="device")
     ap.add_argument("--only", choices=["fr1", "fr1_loop", "mh01"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (accuracy iteration; the "
+                         "committed artifact should run on the chip)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from tinyslam_tpu.utils.cache import enable_compilation_cache
 
