@@ -75,6 +75,8 @@ def _loop_probe(
     cur: Features,            # current keyframe features
     old_feats: Features,      # (C, ...) stacked candidate keyframe features
     old_ids: jax.Array,       # (C,) int32 candidate keyframe ids
+    old_lm_idx: jax.Array,    # (C, cap) landmark index per old feature
+    old_lm_valid: jax.Array,  # (C, cap) association validity
     map_state,                # MapState
     R_cur: jax.Array, t_cur: jax.Array,   # drifted odometry pose of cur KF
     kf_id: jax.Array,         # () int32 — current keyframe id
@@ -99,19 +101,19 @@ def _loop_probe(
         cur, map_state, max_distance, ratio, cam=cam, R=R_cur, t=t_cur)
     z_new = depths(R_cur, t_cur, map_state.X[idx_n])
 
-    def one(old_f: Features, old_id: jax.Array):
+    def one(old_f: Features, old_id: jax.Array, old_lm: jax.Array,
+            old_lm_ok: jax.Array):
         # Appearance check: cur descriptors vs the old keyframe's.
         m = match_descriptors(
             cur.desc, cur.valid, old_f.desc, old_f.valid,
             max_distance=max_distance, ratio=ratio, cross_check=True)
         n_appear = jnp.sum(m["valid"].astype(jnp.int32))
-        # Old features -> OLD-EPOCH landmarks (created at/before the
-        # candidate keyframe: those are anchored in the old gauge).
-        idx_o, val_o = _match_to_map(old_f, map_state, max_distance, ratio)
-        val_o &= map_state.anchor_kf[idx_o] <= old_id
-        # Chain: cur i -> old j = m.idx_b[i] -> landmark idx_o[j].
-        lm = idx_o[m["idx_b"]]
-        chain = m["valid"] & val_o[m["idx_b"]]
+        # Chain: cur i -> old j = m.idx_b[i] -> the landmark the old
+        # keyframe ASSOCIATED AT CREATION (kf_assoc) — still anchored in
+        # the old gauge; only requires the landmark to still be alive.
+        lm = old_lm[m["idx_b"]]
+        chain = (m["valid"] & old_lm_ok[m["idx_b"]]
+                 & map_state.valid[lm])
         # Absolute pose of CUR in the old gauge.  RANSAC, not refine-only:
         # under real scale drift the odometry pose can be outside the GN
         # convergence basin (the prior still rides along as one hypothesis).
@@ -121,27 +123,39 @@ def _loop_probe(
             num_hypotheses=num_hypotheses, inlier_px=inlier_px,
             refine_iters=pnp_iters, R_prior=R_cur, t_prior=t_cur)
         # Relative scale: same camera, same scene — depth under the drifted
-        # pose (new gauge) over depth under the old-gauge PnP pose, per
-        # feature that has BOTH associations; median over inliers.
+        # pose (new gauge) over depth under the old-gauge PnP pose.
+        # Primary estimator: per-feature ratio where BOTH associations
+        # exist (tightest).  Fallback: ratio of the two sides' median scene
+        # depths (same camera, same field of view, so the medians compare
+        # the same scene even when the feature sets barely intersect — the
+        # strict intersection is often just a handful of features).
         z_old = depths(out["R"], out["t"], map_state.X[lm])
         recent = map_state.anchor_kf[idx_n] > old_id
-        both = (chain & out["inliers"] & val_n & recent
-                & (z_old > 1e-3) & (z_new > 1e-3))
+        old_ok = chain & out["inliers"] & (z_old > 1e-3)
+        new_ok = val_n & recent & (z_new > 1e-3)
+        both = old_ok & new_ok
         ratio_sn = jnp.where(both, z_new / jnp.maximum(z_old, 1e-6), jnp.nan)
-        s_med = jnp.nanmedian(ratio_sn)
+        s_pair = jnp.nanmedian(ratio_sn)
+        med_new = jnp.nanmedian(jnp.where(new_ok, z_new, jnp.nan))
+        med_old = jnp.nanmedian(jnp.where(old_ok, z_old, jnp.nan))
+        s_med = med_new / jnp.maximum(med_old, 1e-6)
         return {
             "n_appear": n_appear,
             "n_chain": jnp.sum(chain.astype(jnp.int32)),
             "num_inliers": out["num_inliers"].astype(jnp.int32),
             "rmse": out["rmse"],
             "R": out["R"], "t": out["t"],
-            "s_e": s_med,
+            "s_e": s_pair,
             "n_scale_pairs": jnp.sum(both.astype(jnp.int32)),
+            "s_e_med": s_med,
+            "n_scale_old": jnp.sum(old_ok.astype(jnp.int32)),
+            "n_scale_new": jnp.sum(new_ok.astype(jnp.int32)),
         }
 
     # Unrolled over the (small, static) candidate count: one fused dispatch.
     C = old_ids.shape[0]
-    outs = [one(jax.tree.map(lambda x: x[c], old_feats), old_ids[c])
+    outs = [one(jax.tree.map(lambda x: x[c], old_feats), old_ids[c],
+                old_lm_idx[c], old_lm_valid[c])
             for c in range(C)]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
@@ -163,6 +177,13 @@ class Slam:
         self.camera = camera
         self.vo = VisualOdometry(cfg, camera, **vo_kwargs)
         self.kf_store: list[Features] = []       # per-KF features
+        # Per-KF feature->landmark association, frozen at keyframe creation
+        # (idx (cap,), ok (cap,)): the loop probe's old-gauge 3D comes from
+        # these — re-matching old features against the CURRENT map decays
+        # with descriptor refresh and drift (measured: ~20 chain survivors
+        # of ~150 appearance matches), while the stored association only
+        # needs the landmark to still be alive.
+        self.kf_assoc: list[tuple[np.ndarray, np.ndarray]] = []
         self.kf_signatures: list[np.ndarray] = []
         self.kf_R: list[np.ndarray] = []         # running best pose per KF
         self.kf_t: list[np.ndarray] = []
@@ -188,14 +209,10 @@ class Slam:
         """Pull keyframes created by the VO layer since the last call."""
         while len(self.kf_store) < self.vo.num_keyframes:
             kf_id = len(self.kf_store)
-            # The VO logs (kf_id, R, t) in order; features: newest == vo.kf_feats
-            # for the latest, otherwise reconstruct from the log only.
+            # The VO logs (kf_id, R, t) in order; features: the keyframe's
+            # own window slot (NOT a kf_feats fallback, which is the NEWEST
+            # keyframe's features — wrong for mid-window ids).
             _, R, t = self.vo.kf_poses_log[kf_id]
-            self.kf_R.append(R)
-            self.kf_t.append(t)
-            # The keyframe's own features come from its window slot (NOT a
-            # kf_feats fallback, which is the NEWEST keyframe's features —
-            # wrong for mid-window ids; VERDICT r3 weak #5).
             slots = np.nonzero(
                 np.asarray(self.vo.win_valid)
                 & (np.asarray(self.vo.win_kf_id) == kf_id))[0]
@@ -205,16 +222,29 @@ class Slam:
                 feats = self.vo.kf0_feats
             else:
                 feats = self.vo.kf_feats
-            self.kf_store.append(feats)
-            self.kf_signatures.append(np.asarray(_kf_signature(feats)))
-            if kf_id > 0:
-                # Odometry edge from previous KF.
-                Rp, tp = self.kf_R[kf_id - 1], self.kf_t[kf_id - 1]
-                Ri, ti = se3_inverse(jnp.asarray(Rp), jnp.asarray(tp))
-                Re, te = se3_compose(jnp.asarray(R), jnp.asarray(t), Ri, ti)
-                self.edges.append((kf_id - 1, kf_id, np.asarray(Re),
-                                   np.asarray(te), 1.0, 1.0))
-                self._detect_loop(kf_id)
+            self._append_keyframe(kf_id, R, t, feats)
+
+    def _append_keyframe(self, kf_id: int, R, t, feats: Features):
+        assert kf_id == len(self.kf_store)
+        self.kf_R.append(np.asarray(R))
+        self.kf_t.append(np.asarray(t))
+        self.kf_store.append(feats)
+        # Freeze this keyframe's feature->landmark association (guided by
+        # its own pose against the map as it exists NOW, i.e. at creation).
+        idx, ok = _match_to_map(
+            feats, self.vo.map,
+            self.cfg.matcher.max_distance, self.cfg.matcher.ratio,
+            cam=self.camera, R=jnp.asarray(self.kf_R[-1]),
+            t=jnp.asarray(self.kf_t[-1]))
+        self.kf_assoc.append((np.asarray(idx), np.asarray(ok)))
+        self.kf_signatures.append(np.asarray(_kf_signature(feats)))
+        if kf_id > 0:
+            Rp, tp = self.kf_R[kf_id - 1], self.kf_t[kf_id - 1]
+            Ri, ti = se3_inverse(jnp.asarray(Rp), jnp.asarray(tp))
+            Re, te = se3_compose(jnp.asarray(R), jnp.asarray(t), Ri, ti)
+            self.edges.append((kf_id - 1, kf_id, np.asarray(Re),
+                               np.asarray(te), 1.0, 1.0))
+            self._detect_loop(kf_id)
 
     # ------------- loop closure -------------
     def _detect_loop(self, kf_id: int):
@@ -234,9 +264,14 @@ class Slam:
         old_stack = jax.tree.map(
             lambda *xs: jnp.stack(xs),
             *[self.kf_store[int(c)] for c in cand])
+        old_lm = jnp.asarray(np.stack(
+            [self.kf_assoc[int(c)][0] for c in cand]))
+        old_ok = jnp.asarray(np.stack(
+            [self.kf_assoc[int(c)][1] for c in cand]))
         # ONE dispatch for both candidates; ONE packed readback.
         probe = _loop_probe(
             self.camera, cur, old_stack, jnp.asarray(cand),
+            old_lm, old_ok,
             self.vo.map,
             jnp.asarray(self.kf_R[kf_id]), jnp.asarray(self.kf_t[kf_id]),
             jnp.int32(kf_id),
@@ -262,6 +297,9 @@ class Slam:
                 "n_chain": n_chain, "num_inliers": n_in, "rmse": rmse,
                 "s_e": float(probe["s_e"][c]),
                 "n_scale_pairs": int(probe["n_scale_pairs"][c]),
+                "s_e_med": float(probe["s_e_med"][c]),
+                "n_scale_old": int(probe["n_scale_old"][c]),
+                "n_scale_new": int(probe["n_scale_new"][c]),
                 "accepted": False,
             }
             self.loop_log.append(rec)
@@ -273,11 +311,18 @@ class Slam:
                     or rmse > pg.loop_max_rmse_px):
                 continue
             rec["accepted"] = True
-            # Relative scale of the new local map w.r.t. the old gauge;
-            # trust it only with enough supporting pairs.
+            # Relative scale of the new local map w.r.t. the old gauge:
+            # per-feature ratio when enough pairs support it, else the
+            # median-of-medians fallback, else no scale information (1.0).
             s_e = float(probe["s_e"][c])
             if (int(probe["n_scale_pairs"][c]) < pg.loop_min_scale_pairs
-                    or not np.isfinite(s_e) or not (0.2 < s_e < 5.0)):
+                    or not np.isfinite(s_e)):
+                s_e = float(probe["s_e_med"][c])
+                if (min(int(probe["n_scale_old"][c]),
+                        int(probe["n_scale_new"][c])) < pg.loop_min_scale_pairs
+                        or not np.isfinite(s_e)):
+                    s_e = 1.0
+            if not (0.2 < s_e < 5.0):
                 s_e = 1.0
             # Sim(3) edge old -> new:  S_m = S_new_meas o S_old_meas^-1 with
             # S_old = (R_old, t_old, 1) (old gauge) and S_new = the old-gauge
@@ -517,20 +562,6 @@ class DeviceSlam(Slam):
         elif len(vo._pending) > pending_before:
             self._sync_chunk()
         return vo.stats[-1] if vo.stats else None
-
-    def _append_keyframe(self, kf_id: int, R, t, feats: Features):
-        assert kf_id == len(self.kf_store)
-        self.kf_R.append(np.asarray(R))
-        self.kf_t.append(np.asarray(t))
-        self.kf_store.append(feats)
-        self.kf_signatures.append(np.asarray(_kf_signature(feats)))
-        if kf_id > 0:
-            Rp, tp = self.kf_R[kf_id - 1], self.kf_t[kf_id - 1]
-            Ri, ti = se3_inverse(jnp.asarray(Rp), jnp.asarray(tp))
-            Re, te = se3_compose(jnp.asarray(R), jnp.asarray(t), Ri, ti)
-            self.edges.append(
-                (kf_id - 1, kf_id, np.asarray(Re), np.asarray(te), 1.0, 1.0))
-            self._detect_loop(kf_id)
 
     def _sync_bootstrap(self):
         """Bootstrap ran on the host tracker; pull its two keyframes."""

@@ -156,6 +156,22 @@ def _triangulate_and_insert(
         & jnp.all(jnp.isfinite(X), axis=-1)
     )
 
+    # Relative depth-band gate against the existing map.  Repetitive
+    # texture (tiled walls, building facades) produces period-aliased
+    # matches whose disparity is a multiple of the true one; such pairs are
+    # EPIPOLAR-CONSISTENT, so they reproject perfectly in both views at a
+    # wildly wrong depth (measured: a batch of 41 landmarks entering 7.7x
+    # too close passed every geometric gate and collapsed the map scale).
+    # A point several times closer/farther than the scene the map already
+    # holds is overwhelmingly an alias; gate it.  Inactive while the map is
+    # too small to define a scene depth (e.g. right after bootstrap).
+    z_map = jnp.where(map_state.valid,
+                      depths(R_a, t_a, map_state.X), jnp.nan)
+    med_z = jnp.nanmedian(z_map)
+    have_scene = jnp.sum(map_state.valid) >= 50
+    band_ok = (za > 0.15 * med_z) & (za < 6.0 * med_z)
+    accept &= jnp.where(have_scene & jnp.isfinite(med_z), band_ok, True)
+
     # Duplicate suppression: a candidate whose descriptor is already in the
     # map would create a near-twin landmark; twins make the matcher's ratio
     # test reject BOTH (best ~ second-best), which progressively poisons

@@ -299,6 +299,8 @@ def save_slam(slam, path) -> None:
         "kf_R": [np.asarray(R) for R in slam.kf_R],
         "kf_t": [np.asarray(t) for t in slam.kf_t],
         "kf_signatures": [np.asarray(s) for s in slam.kf_signatures],
+        "kf_lm_idx": [np.asarray(a[0]) for a in slam.kf_assoc],
+        "kf_lm_ok": [np.asarray(a[1]) for a in slam.kf_assoc],
     }
     if slam.kf_store:
         ckptr.save(path / "slam_arrays", state)
@@ -328,6 +330,7 @@ def restore_slam(slam, path) -> None:
     n = meta["num_keyframes"]
     slam.kf_store, slam.kf_signatures = [], []
     slam.kf_R, slam.kf_t = [], []
+    slam.kf_assoc = []
     if n:
         cap = slam.cfg.frontend.max_features
         target = {
@@ -335,6 +338,8 @@ def restore_slam(slam, path) -> None:
             "kf_R": [np.zeros((3, 3), np.float32)] * n,
             "kf_t": [np.zeros(3, np.float32)] * n,
             "kf_signatures": [np.zeros(256, np.float32)] * n,
+            "kf_lm_idx": [np.zeros(cap, np.int32)] * n,
+            "kf_lm_ok": [np.zeros(cap, bool)] * n,
         }
         target = jax.tree.map(np.asarray, target)
         ckptr = ocp.StandardCheckpointer()
@@ -349,6 +354,8 @@ def restore_slam(slam, path) -> None:
             slam.kf_R.append(np.asarray(state["kf_R"][k]))
             slam.kf_t.append(np.asarray(state["kf_t"][k]))
             slam.kf_signatures.append(np.asarray(state["kf_signatures"][k]))
+            slam.kf_assoc.append((np.asarray(state["kf_lm_idx"][k]),
+                                  np.asarray(state["kf_lm_ok"][k])))
     slam.num_loop_closures = meta["num_loop_closures"]
     slam.edges = [
         (int(i), int(j), np.asarray(R, np.float32), np.asarray(t, np.float32),
