@@ -137,6 +137,9 @@ def render_patches(uv: np.ndarray, visible: np.ndarray, patches: np.ndarray,
     return img
 
 
+_RAY_CACHE: dict = {}
+
+
 class TexturedRoom:
     """A procedurally textured axis-aligned box room, rendered by ray
     casting — perspective-correct and view-consistent (unlike sprite
@@ -157,11 +160,14 @@ class TexturedRoom:
         base = rng.random((6, res + 1, res + 1))
         tex = 0.15 + 0.7 * (base > 0.5).astype(np.float64)
         for o in range(1, octaves):
-            r2 = res * (2 ** o)
+            # Each octave DOUBLES the resolution (the previous code scaled
+            # by 2**o of the *current* res per octave, which compounds to
+            # res * 2**(o*(o+1)/2) — a 12 GB texture at octaves=4).
+            r2 = res * 2
             fine = rng.random((6, r2 + 1, r2 + 1)) > 0.5
             # Downweight finer octaves; upsample by indexing at render time
             # is avoided by folding into one texture at the finest res.
-            up = np.repeat(np.repeat(tex, 2 ** o, axis=1), 2 ** o, axis=2)
+            up = np.repeat(np.repeat(tex, 2, axis=1), 2, axis=2)
             up = up[:, : r2 + 1, : r2 + 1]
             tex = up + (fine.astype(np.float64) - 0.5) * (0.5 / (2 ** o))
             res = r2
@@ -177,14 +183,23 @@ class TexturedRoom:
         resampling pass."""
         fx, fy = float(cam.fx), float(cam.fy)
         cx, cy = float(cam.cx), float(cam.cy)
-        us, vs = np.meshgrid(np.arange(width), np.arange(height))
-        xn = (us - cx) / fx
-        yn = (vs - cy) / fy
-        if dist is not None:
-            from tinyslam_tpu.data.undistort import radtan_undistort_points
+        # The (possibly distortion-inverted) ray grid is identical for every
+        # frame of a sequence — cache it (the iterative radtan inverse over
+        # H*W pixels dominated sequence rendering time).
+        key = (fx, fy, cx, cy, width, height,
+               tuple(sorted(dist.items())) if dist else None)
+        d_cam = _RAY_CACHE.get(key)
+        if d_cam is None:
+            us, vs = np.meshgrid(np.arange(width), np.arange(height))
+            xn = (us - cx) / fx
+            yn = (vs - cy) / fy
+            if dist is not None:
+                from tinyslam_tpu.data.undistort import radtan_undistort_points
 
-            xn, yn = radtan_undistort_points(xn, yn, **dist)
-        d_cam = np.stack([xn, yn, np.ones_like(xn, np.float64)], -1)
+                xn, yn = radtan_undistort_points(xn, yn, **dist)
+            d_cam = np.stack([xn, yn, np.ones_like(xn, np.float64)], -1)
+            if len(_RAY_CACHE) < 8:
+                _RAY_CACHE[key] = d_cam
         Rm = np.asarray(R, np.float64)
         C = -Rm.T @ np.asarray(t, np.float64)
         d = d_cam @ Rm  # (H, W, 3) world-frame ray dirs (R^T applied rowwise)

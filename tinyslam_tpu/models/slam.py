@@ -46,6 +46,18 @@ def _kf_signature(feats: Features) -> jax.Array:
     return jnp.sum(signs * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+@functools.partial(jax.jit, static_argnames=("max_distance", "ratio"))
+def _kf_ingest(cam: PinholeCamera, feats: Features, map_state,
+               R: jax.Array, t: jax.Array,
+               max_distance: int, ratio: float):
+    """Fused per-keyframe ingest: landmark association (guided by the
+    keyframe's own pose) + place-recognition signature in ONE dispatch —
+    each separate jitted call costs a full relay round trip."""
+    idx, ok = _match_to_map(feats, map_state, max_distance, ratio,
+                            cam=cam, R=R, t=t)
+    return idx, ok, _kf_signature(feats)
+
+
 @jax.jit
 def _reanchor_landmarks(X, anchor_kf, valid, R_old, t_old, R_new, t_new,
                         s_new=None):
@@ -230,14 +242,16 @@ class Slam:
         self.kf_t.append(np.asarray(t))
         self.kf_store.append(feats)
         # Freeze this keyframe's feature->landmark association (guided by
-        # its own pose against the map as it exists NOW, i.e. at creation).
-        idx, ok = _match_to_map(
-            feats, self.vo.map,
-            self.cfg.matcher.max_distance, self.cfg.matcher.ratio,
-            cam=self.camera, R=jnp.asarray(self.kf_R[-1]),
-            t=jnp.asarray(self.kf_t[-1]))
-        self.kf_assoc.append((np.asarray(idx), np.asarray(ok)))
-        self.kf_signatures.append(np.asarray(_kf_signature(feats)))
+        # its own pose against the map as it exists NOW, i.e. at creation)
+        # and its signature — one fused dispatch, one packed readback.
+        idx, ok, sig = _kf_ingest(
+            self.camera, feats, self.vo.map,
+            jnp.asarray(self.kf_R[-1]), jnp.asarray(self.kf_t[-1]),
+            max_distance=self.cfg.matcher.max_distance,
+            ratio=self.cfg.matcher.ratio)
+        idx, ok, sig = jax.device_get((idx, ok, sig))
+        self.kf_assoc.append((idx, ok))
+        self.kf_signatures.append(sig)
         if kf_id > 0:
             Rp, tp = self.kf_R[kf_id - 1], self.kf_t[kf_id - 1]
             Ri, ti = se3_inverse(jnp.asarray(Rp), jnp.asarray(tp))
@@ -356,7 +370,13 @@ class Slam:
     def _solve_graph(self, snap):
         """Device compute only — safe on the worker thread.  Returns the
         solved Sim(3) nodes (R, t, s); with cfg.pose_graph.sim3 = False the
-        SE(3) solver runs and s is all-ones."""
+        SE(3) solver runs and s is all-ones.
+
+        Nodes/edges are PADDED to quantized capacities (validity-masked):
+        without padding every solve has a brand-new static shape (the graph
+        grows monotonically) and XLA recompiles per loop closure — tens of
+        seconds each through the dispatch relay, the dominant full-SLAM
+        latency term (VERDICT r3 next-step #3)."""
         from tinyslam_tpu.backend.pose_graph import (
             optimize_pose_graph,
             optimize_pose_graph_sim3,
@@ -364,31 +384,48 @@ class Slam:
 
         R_old, t_old, edges = snap
         n = len(R_old)
-        ei = np.array([e[0] for e in edges], np.int32)
-        ej = np.array([e[1] for e in edges], np.int32)
-        eR = np.stack([e[2] for e in edges])
-        et = np.stack([e[3] for e in edges])
-        es = np.array([e[4] for e in edges], np.float32)
-        ew = np.array([e[5] for e in edges], np.float32)
+        E = len(edges)
+        n_pad = min(-(-max(n, 1) // 32) * 32, self.cfg.pose_graph.max_nodes)
+        n_pad = max(n_pad, n)
+        e_pad = min(-(-max(E, 1) // 128) * 128, self.cfg.pose_graph.max_edges)
+        e_pad = max(e_pad, E)
+        Rp = np.tile(np.eye(3, dtype=np.float32)[None], (n_pad, 1, 1))
+        tp = np.zeros((n_pad, 3), np.float32)
+        Rp[:n] = R_old
+        tp[:n] = t_old
+        node_valid = np.zeros(n_pad, bool)
+        node_valid[:n] = True
+        ei = np.zeros(e_pad, np.int32)
+        ej = np.zeros(e_pad, np.int32)
+        eR = np.tile(np.eye(3, dtype=np.float32)[None], (e_pad, 1, 1))
+        et = np.zeros((e_pad, 3), np.float32)
+        es = np.ones(e_pad, np.float32)
+        ew = np.ones(e_pad, np.float32)
+        ev = np.zeros(e_pad, bool)
+        for k, e in enumerate(edges):
+            ei[k], ej[k], eR[k], et[k], es[k], ew[k] = e
+            ev[k] = True
         if self.cfg.pose_graph.sim3:
             out = optimize_pose_graph_sim3(
-                jnp.asarray(R_old), jnp.asarray(t_old),
-                jnp.ones((n,), jnp.float32),
+                jnp.asarray(Rp), jnp.asarray(tp),
+                jnp.ones((n_pad,), jnp.float32),
                 jnp.asarray(ei), jnp.asarray(ej),
                 jnp.asarray(eR), jnp.asarray(et), jnp.asarray(es),
-                jnp.asarray(np.ones(len(ei), bool)), jnp.asarray(ew),
+                jnp.asarray(ev), jnp.asarray(ew),
+                node_valid=jnp.asarray(node_valid),
                 iters=self.cfg.pose_graph.gn_iters,
             )
-            return (np.asarray(out["R"]), np.asarray(out["t"]),
-                    np.asarray(out["s"]))
+            return (np.asarray(out["R"])[:n], np.asarray(out["t"])[:n],
+                    np.asarray(out["s"])[:n])
         out = optimize_pose_graph(
-            jnp.asarray(R_old), jnp.asarray(t_old),
+            jnp.asarray(Rp), jnp.asarray(tp),
             jnp.asarray(ei), jnp.asarray(ej),
             jnp.asarray(eR), jnp.asarray(et),
-            jnp.asarray(np.ones(len(ei), bool)), jnp.asarray(ew),
+            jnp.asarray(ev), jnp.asarray(ew),
+            node_valid=jnp.asarray(node_valid),
             iters=self.cfg.pose_graph.gn_iters,
         )
-        return (np.asarray(out["R"]), np.asarray(out["t"]),
+        return (np.asarray(out["R"])[:n], np.asarray(out["t"])[:n],
                 np.ones(n, np.float32))
 
     @staticmethod
@@ -642,14 +679,19 @@ class DeviceSlam(Slam):
             state.map.X, state.map.anchor_kf, state.map.valid,
             jnp.asarray(R_old), jnp.asarray(t_old),
             jnp.asarray(R_sim), jnp.asarray(t_sim), jnp.asarray(s_sim))
-        win_R, win_t = state.win_R, state.win_t
+        # One readback + one upload instead of 2K tiny .at[].set dispatches
+        # (each costs a relay round trip).
+        win_R_np = np.asarray(state.win_R)
+        win_t_np = np.asarray(state.win_t)
         win_valid = np.asarray(state.win_valid)
         win_kf = np.asarray(state.win_kf_id)
         for slot in range(len(win_valid)):
             kf_id = int(win_kf[slot])
             if win_valid[slot] and 0 <= kf_id < n:
-                win_R = win_R.at[slot].set(jnp.asarray(R_se[kf_id]))
-                win_t = win_t.at[slot].set(jnp.asarray(t_se[kf_id]))
+                win_R_np[slot] = R_se[kf_id]
+                win_t_np[slot] = t_se[kf_id]
+        win_R = jnp.asarray(win_R_np)
+        win_t = jnp.asarray(win_t_np)
         live = sim3_compose(*corr, state.R, state.t,
                             jnp.asarray(1.0, jnp.float32))
         live_R, live_t = sim3_to_se3(*live)

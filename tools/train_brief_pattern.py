@@ -56,6 +56,10 @@ def collect_patches(n_target: int, rng: np.random.Generator) -> np.ndarray:
 
     cam = PinholeCamera.create(**FR1_INTRINSICS)
     cfg = FrontendConfig()
+    import functools
+    extract = jax.jit(functools.partial(extract_features, cfg=cfg))
+    pyramid = jax.jit(functools.partial(build_pyramid, num_levels=1,
+                                        blur_sigma=cfg.blur_sigma))
     out = []
     scene = 0
     R = 15
@@ -70,8 +74,8 @@ def collect_patches(n_target: int, rng: np.random.Generator) -> np.ndarray:
                                                        else g)))
             elif g.max() > 2:
                 g = g / 255.0
-            feats = extract_features(jnp.asarray(g), cfg.threshold, cfg)
-            _, blurred = build_pyramid(jnp.asarray(g), 1, cfg.blur_sigma)
+            feats = extract(jnp.asarray(g), cfg.threshold)
+            _, blurred = pyramid(jnp.asarray(g))
             B = np.asarray(blurred[0])
             xy = np.asarray(feats.xy)[np.asarray(feats.valid)]
             ang = np.asarray(feats.angle)[np.asarray(feats.valid)]
