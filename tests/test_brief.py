@@ -10,10 +10,16 @@ def test_pattern_properties():
     assert np.abs(BRIEF_PATTERN).max() <= 13
     # No degenerate pairs.
     assert not np.any(np.all(BRIEF_PATTERN[:, 0] == BRIEF_PATTERN[:, 1], axis=-1))
-    # Deterministic across imports.
-    from tinyslam_tpu.ops.brief import _make_pattern
+    # Deterministic across imports: the active pattern is the committed
+    # learned table (falls back to the deterministic Gaussian pattern).
+    import importlib
 
-    np.testing.assert_array_equal(BRIEF_PATTERN, _make_pattern())
+    import tinyslam_tpu.ops.brief as B
+
+    np.testing.assert_array_equal(BRIEF_PATTERN, importlib.reload(B).BRIEF_PATTERN)
+    from tinyslam_tpu.ops.brief import RANDOM_PATTERN, _make_pattern
+
+    np.testing.assert_array_equal(RANDOM_PATTERN, _make_pattern())
 
 
 def test_brief_matches_golden():

@@ -153,7 +153,7 @@ class TexturedRoom:
     """
 
     def __init__(self, rng: np.random.Generator, half_size=(6.0, 4.0, 6.0),
-                 tex_res: int = 64, octaves: int = 1):
+                 tex_res: int = 64, octaves: int = 1, clutter: int = 0):
         self.half = np.asarray(half_size, np.float64)
         # 6 faces x (tex_res, tex_res) random grid textures per octave.
         res = tex_res
@@ -173,6 +173,23 @@ class TexturedRoom:
             res = r2
         self.tex = np.clip(tex, 0.02, 0.98)
         self.res = res
+        # Interior clutter: textured axis-aligned boxes at varied depths.
+        # A bare box room is planar at close range (approaching a wall the
+        # whole view has ~zero parallax structure — the degenerate case
+        # real desk/indoor scenes never present); clutter restores the
+        # depth variety of real scenes and exercises occlusion.
+        self.boxes: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for _ in range(clutter):
+            size = rng.uniform(0.25, 0.9, 3)
+            margin = self.half - size - 0.3
+            center = rng.uniform(-1.0, 1.0, 3) * np.maximum(margin, 0.1)
+            # Bias clutter toward the floor half (furniture-like).
+            center[1] = -abs(center[1]) * 0.7 + size[1]
+            btex = 0.1 + 0.8 * (rng.random((6, 33, 33)) > 0.5)
+            fine = rng.random((6, 65, 65)) > 0.5
+            up = np.repeat(np.repeat(btex, 2, axis=1), 2, axis=2)[:, :65, :65]
+            btex = np.clip(up + (fine - 0.5) * 0.3, 0.02, 0.98)
+            self.boxes.append((center, size, btex))
 
     def render(self, cam: PinholeCamera, R: np.ndarray, t: np.ndarray,
                width: int, height: int,
@@ -228,7 +245,45 @@ class TexturedRoom:
                 val = self._sample(int(face), ua, va)
                 out = np.where(ok, val, out)
                 best_t = np.where(ok, th, best_t)
+        out, best_t = self._hit_boxes(C, d, out, best_t)
         return out.astype(np.float32)
+
+    def _hit_boxes(self, C, d, out, best_t):
+        """Nearest-hit tests against the interior clutter boxes."""
+        for center, size, btex in self.boxes:
+            for axis in range(3):
+                for sign in (-1.0, 1.0):
+                    bound = center[axis] + sign * size[axis]
+                    da = d[..., axis]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        th = (bound - C[axis]) / da
+                    P = C[None, None, :] + th[..., None] * d
+                    a1, a2 = [i for i in range(3) if i != axis]
+                    ok = (
+                        (th > 1e-6)
+                        & np.isfinite(th)
+                        & (np.abs(P[..., a1] - center[a1]) <= size[a1] + 1e-9)
+                        & (np.abs(P[..., a2] - center[a2]) <= size[a2] + 1e-9)
+                        & (th < best_t)
+                    )
+                    if not ok.any():
+                        continue
+                    ua = ((P[..., a1] - center[a1]) / size[a1] + 1) * 0.5
+                    va = ((P[..., a2] - center[a2]) / size[a2] + 1) * 0.5
+                    face = axis * 2 + (sign > 0)
+                    x = np.clip(ua, 0, 1) * 64
+                    y = np.clip(va, 0, 1) * 64
+                    x0 = np.clip(x.astype(int), 0, 63)
+                    y0 = np.clip(y.astype(int), 0, 63)
+                    fx, fy = x - x0, y - y0
+                    T = btex[int(face)]
+                    val = (T[y0, x0] * (1 - fx) * (1 - fy)
+                           + T[y0, x0 + 1] * fx * (1 - fy)
+                           + T[y0 + 1, x0] * (1 - fx) * fy
+                           + T[y0 + 1, x0 + 1] * fx * fy)
+                    out = np.where(ok, val, out)
+                    best_t = np.where(ok, th, best_t)
+        return out, best_t
 
     def raycast(self, cam: PinholeCamera, R: np.ndarray, t: np.ndarray,
                 uv: np.ndarray) -> np.ndarray:
@@ -243,21 +298,24 @@ class TexturedRoom:
         d = d_cam @ Rm
         best_t = np.full(len(uv), np.inf)
         P_out = np.zeros((len(uv), 3))
-        for axis in range(3):
-            for sign in (-1.0, 1.0):
-                bound = sign * self.half[axis]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    th = (bound - C[axis]) / d[:, axis]
-                P = C[None] + th[:, None] * d
-                a1, a2 = [i for i in range(3) if i != axis]
-                ok = (
-                    (th > 1e-6) & np.isfinite(th)
-                    & (np.abs(P[:, a1]) <= self.half[a1] + 1e-9)
-                    & (np.abs(P[:, a2]) <= self.half[a2] + 1e-9)
-                    & (th < best_t)
-                )
-                P_out = np.where(ok[:, None], P, P_out)
-                best_t = np.where(ok, th, best_t)
+        surfaces = [(np.zeros(3), self.half)] + [
+            (c, s) for c, s, _ in self.boxes]
+        for center, half in surfaces:
+            for axis in range(3):
+                for sign in (-1.0, 1.0):
+                    bound = center[axis] + sign * half[axis]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        th = (bound - C[axis]) / d[:, axis]
+                    P = C[None] + th[:, None] * d
+                    a1, a2 = [i for i in range(3) if i != axis]
+                    ok = (
+                        (th > 1e-6) & np.isfinite(th)
+                        & (np.abs(P[:, a1] - center[a1]) <= half[a1] + 1e-9)
+                        & (np.abs(P[:, a2] - center[a2]) <= half[a2] + 1e-9)
+                        & (th < best_t)
+                    )
+                    P_out = np.where(ok[:, None], P, P_out)
+                    best_t = np.where(ok, th, best_t)
         return P_out
 
     def _sample(self, face: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:

@@ -681,8 +681,8 @@ class DeviceSlam(Slam):
             jnp.asarray(R_sim), jnp.asarray(t_sim), jnp.asarray(s_sim))
         # One readback + one upload instead of 2K tiny .at[].set dispatches
         # (each costs a relay round trip).
-        win_R_np = np.asarray(state.win_R)
-        win_t_np = np.asarray(state.win_t)
+        win_R_np = np.array(state.win_R)
+        win_t_np = np.array(state.win_t)
         win_valid = np.asarray(state.win_valid)
         win_kf = np.asarray(state.win_kf_id)
         for slot in range(len(win_valid)):

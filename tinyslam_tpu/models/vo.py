@@ -156,20 +156,31 @@ def _triangulate_and_insert(
         & jnp.all(jnp.isfinite(X), axis=-1)
     )
 
-    # Relative depth-band gate against the existing map.  Repetitive
+    # Relative depth-band gate against the VISIBLE scene.  Repetitive
     # texture (tiled walls, building facades) produces period-aliased
     # matches whose disparity is a multiple of the true one; such pairs are
     # EPIPOLAR-CONSISTENT, so they reproject perfectly in both views at a
     # wildly wrong depth (measured: a batch of 41 landmarks entering 7.7x
     # too close passed every geometric gate and collapsed the map scale).
-    # A point several times closer/farther than the scene the map already
-    # holds is overwhelmingly an alias; gate it.  Inactive while the map is
-    # too small to define a scene depth (e.g. right after bootstrap).
-    z_map = jnp.where(map_state.valid,
-                      depths(R_a, t_a, map_state.X), jnp.nan)
-    med_z = jnp.nanmedian(z_map)
-    have_scene = jnp.sum(map_state.valid) >= 50
-    band_ok = (za > 0.15 * med_z) & (za < 6.0 * med_z)
+    # A point several times closer/farther than the scene in THIS view is
+    # overwhelmingly an alias; gate it.  The reference depth is the median
+    # of map landmarks projecting INTO the current view — a whole-map
+    # median stalls insertion when the camera approaches a surface (the
+    # local scene is legitimately much closer than the map at large;
+    # measured: landmark creation froze for ~20 keyframes near a wall and
+    # the resulting coverage hole cost 110 frames of tracking).  Inactive
+    # while too few landmarks are in view to define a scene depth.
+    z_map = depths(R_a, t_a, map_state.X)
+    pc_m = map_state.X @ R_a.T + t_a
+    zs_m = jnp.maximum(pc_m[..., 2], 1e-6)
+    u_m = cam.fx * pc_m[..., 0] / zs_m + cam.cx
+    v_m = cam.fy * pc_m[..., 1] / zs_m + cam.cy
+    in_view = (map_state.valid & (z_map > 0.02)
+               & (u_m > 0) & (u_m < 2.0 * cam.cx + 1.0)
+               & (v_m > 0) & (v_m < 2.0 * cam.cy + 1.0))
+    med_z = jnp.nanmedian(jnp.where(in_view, z_map, jnp.nan))
+    have_scene = jnp.sum(in_view) >= 30
+    band_ok = (za > 0.12 * med_z) & (za < 8.0 * med_z)
     accept &= jnp.where(have_scene & jnp.isfinite(med_z), band_ok, True)
 
     # Duplicate suppression: a candidate whose descriptor is already in the

@@ -10,11 +10,17 @@ pack are fused VPU arithmetic, and the only memory-irregular step is two
 (N, 256) gathers from the level image.
 
 The sampling pattern: the reference embeds the classic learned ORB
-``bit_pattern_31`` table (brief.wgsl:70-327).  We deliberately generate our
-own deterministic pattern instead (Gaussian pairs, the original BRIEF recipe:
-coords ~ N(0, (patch/5)^2) clipped to the +/-13 box) — descriptors only ever
-compare against descriptors from the same pattern, so the pattern is a free
-choice as long as it is fixed.
+``bit_pattern_31`` table (brief.wgsl:70-327).  We use deterministic Gaussian
+pairs (the original BRIEF recipe: coords ~ N(0, (patch/5)^2) clipped to the
++/-13 box) — a choice that is now A/B-JUSTIFIED rather than assumed: a
+decorrelated pattern trained with the ORB-paper greedy procedure on our own
+rendered corner patches (tools/train_brief_pattern.py; shipped as
+brief_pattern_learned.LEARNED_PATTERN) does achieve lower bit correlation
+(mean |corr| 0.067 vs 0.115) but MATCHES WORSE on the rendered rotation-pair
+benchmark (469 matches @ mean Hamming 37.1 vs 537 @ 31.8,
+tests/test_brief_pattern.py): greedy mean-near-0.5 selection favours
+boundary-straddling intensity tests whose bits flip under pixel noise, and
+per-bit stability beats decorrelation for ratio-test matching here.
 """
 
 from __future__ import annotations
@@ -43,7 +49,8 @@ def _make_pattern(num_pairs: int = 256, seed: int = 7) -> np.ndarray:
     return pts
 
 
-BRIEF_PATTERN: np.ndarray = _make_pattern()
+RANDOM_PATTERN: np.ndarray = _make_pattern()
+BRIEF_PATTERN: np.ndarray = RANDOM_PATTERN  # the A/B winner (see docstring)
 
 # Rotated-pattern reach: |R(theta) p|_inf <= |p|_2 <= 13*sqrt(2) < 19.
 PATCH_REACH = 19
