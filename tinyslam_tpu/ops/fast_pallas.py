@@ -1,19 +1,27 @@
-"""Fused Pallas TPU kernels for the FAST stage of the front-end.
+"""Fused Pallas TPU kernel for the FAST stage of the front-end.
 
-Two kernel passes over VMEM-resident row bands compute, per pixel:
-  1. score kernel — the FAST-16 bitmask ring test with the rotate-AND
-     streak detector (reference src/shaders/fast.wgsl:51-60, vectorized on
-     int32 lanes), the margin corner score and fused 3x3 non-max
-     suppression;
-  2. moments kernel — separable 15x15 intensity-centroid moments
-     (orientation).
+ONE pass over VMEM-resident row bands computes, per pixel: the FAST-16
+bitmask ring test with the rotate-AND streak detector (reference
+src/shaders/fast.wgsl:51-60, vectorized on int32 lanes), the margin corner
+score, fused 3x3 non-max suppression, AND the separable 15x15
+intensity-centroid moments (orientation).
 
-The pure-XLA path (ops.fast) materializes a (16, H, W) ring stack and
-several padded intermediates in HBM (~15-20x off speed-of-light measured on
-chip); here every shifted view is a VMEM rotate via pltpu.roll.  Two passes
-instead of one because Mosaic's scoped-VMEM allocator accounts every live
-SSA temporary: the combined kernel's ~60 band-sized values blow the 16 MB
-budget, the split kernels stay comfortably under it.
+Kernel economics (round-4 rework; the r3 version ran two band passes and
+measured ~1% of the memory roofline):
+
+- The expensive data movement on TPU is the LANE-axis (x) shift; sublane
+  (y) shifts are several times cheaper.  All x-shifts of the source band
+  are HOISTED into 15 shifted planes SX[dx], dx in -7..7, computed once;
+  every consumer then only sublane-rolls:
+    * ring point (dx, dy)    = subroll(SX[dx], dy)       (|dx| <= 3)
+    * box_x                  = sum_dx SX[dx]
+    * ramp_x                 = sum_dx dx * SX[dx]
+    * m10 = sum_dy subroll(ramp_x, dy),  m01 = sum_dy dy * subroll(box_x, dy)
+  Lane rolls drop from ~66 (both passes, every stencil tap) to 17
+  (15 hoisted + 2 for NMS); the band is DMA'd from HBM once, not twice.
+- Mosaic's scoped-VMEM allocator accounts every live band-sized value;
+  with the 15 hoisted planes live throughout, the band is kept small
+  (_TILE = 48 rows + 2*_HALO halo) so the working set stays ~5 MB.
 
 Large levels are tiled into row bands with an 8-row halo (ring 3 + NMS 1;
 moments 7): the band plus halo is DMA'd from HBM into VMEM scratch,
@@ -37,18 +45,22 @@ from tinyslam_tpu.ops.fast import RING16
 
 _MOMENT_RADIUS = 7
 _HALO = 8          # max stencil reach (multiple of 8 for sublane alignment)
-_TILE = 96         # rows per band (multiple of 8; 480 = 5 * 96)
+_TILE = 48         # rows per band (multiple of 8; 480 = 10 * 48)
 _SMALL_PIXELS = 30_000  # below this, single whole-image program
 
 
-def _roll2(x, dy, dx):
-    """x[y+dy, x+dx] via circular rolls (negative shift brings +d into place)."""
-    out = x
+def _subroll(x, dy):
+    """x[y+dy, :] via a circular sublane roll."""
     if dy:
-        out = pltpu.roll(out, -dy % out.shape[0], axis=0)
+        return pltpu.roll(x, -dy % x.shape[0], axis=0)
+    return x
+
+
+def _laneroll(x, dx):
+    """x[:, x+dx] via a circular lane roll."""
     if dx:
-        out = pltpu.roll(out, -dx % out.shape[1], axis=1)
-    return out
+        return pltpu.roll(x, -dx % x.shape[1], axis=1)
+    return x
 
 
 def _rot16(x, c):
@@ -71,17 +83,27 @@ def _runs(x, n):
     return run
 
 
-def _score_maps(img, t, streak, border, y0, img_h, img_w=None):
-    """(raw_score, nms_score) for one band; y0 = global row of band row 0."""
+def _all_maps(img, t, streak, border, y0, img_h, img_w=None):
+    """(raw_score, nms_score, m10, m01) for one band; y0 = global row of
+    band row 0."""
     h, w = img.shape
     if img_w is None:
         img_w = w
+    r = _MOMENT_RADIUS
+
+    # ---- hoisted lane shifts: SX[dx] = img[:, x+dx] ----
+    SX = {0: img}
+    for dx in range(1, r + 1):
+        SX[dx] = _laneroll(img, dx)
+        SX[-dx] = _laneroll(img, -dx)
+
+    # ---- FAST ring: bitmasks + margins (sublane rolls of SX planes) ----
     bits_over = jnp.zeros(img.shape, jnp.int32)
     bits_under = jnp.zeros(img.shape, jnp.int32)
     margin_over = jnp.zeros(img.shape, jnp.float32)
     margin_under = jnp.zeros(img.shape, jnp.float32)
     for i, (dx, dy) in enumerate(RING16):
-        p = _roll2(img, dy, dx)
+        p = _subroll(SX[dx], dy)
         d = p - img
         bits_over = bits_over | jnp.where(d > t, jnp.int32(1 << i), 0)
         bits_under = bits_under | jnp.where(d < -t, jnp.int32(1 << i), 0)
@@ -99,32 +121,31 @@ def _score_maps(img, t, streak, border, y0, img_h, img_w=None):
     )
     score = jnp.where(inside, score, 0.0)
 
-    # 3x3 NMS: strict > vs raster-earlier neighbours, >= vs later.
+    # ---- 3x3 NMS: strict > vs raster-earlier neighbours, >= vs later ----
+    SS = {0: score, 1: _laneroll(score, 1), -1: _laneroll(score, -1)}
     keep = score > 0.0
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            nb = _roll2(score, dy, dx)
+            nb = _subroll(SS[dx], dy)
             keep = keep & ((score > nb) if (dy, dx) < (0, 0) else (score >= nb))
-    return score, jnp.where(keep, score, 0.0)
+    nms = jnp.where(keep, score, 0.0)
 
-
-def _moment_maps(img, t, streak, border, y0, img_h, img_w=None):
-    """(m10, m01): separable 15x15 patch moments (box one axis, ramp other)."""
-    r = _MOMENT_RADIUS
-    box_y = img
-    for dy in range(1, r + 1):
-        box_y = box_y + _roll2(img, dy, 0) + _roll2(img, -dy, 0)
+    # ---- 15x15 separable moments from the SAME hoisted planes ----
+    # m10 = sum_dx dx * box_y(x+dx) = sum_dy subroll(ramp_x, dy)
+    # m01 = sum_dy dy * box_x(y+dy)
+    ramp_x = jnp.zeros(img.shape, jnp.float32)
     box_x = img
     for dx in range(1, r + 1):
-        box_x = box_x + _roll2(img, 0, dx) + _roll2(img, 0, -dx)
-    m10 = jnp.zeros(img.shape, jnp.float32)
+        ramp_x = ramp_x + float(dx) * (SX[dx] - SX[-dx])
+        box_x = box_x + SX[dx] + SX[-dx]
+    m10 = ramp_x
     m01 = jnp.zeros(img.shape, jnp.float32)
-    for d in range(1, r + 1):
-        m10 = m10 + float(d) * (_roll2(box_y, 0, d) - _roll2(box_y, 0, -d))
-        m01 = m01 + float(d) * (_roll2(box_x, d, 0) - _roll2(box_x, -d, 0))
-    return m10, m01
+    for dy in range(1, r + 1):
+        m10 = m10 + _subroll(ramp_x, dy) + _subroll(ramp_x, -dy)
+        m01 = m01 + float(dy) * (_subroll(box_x, dy) - _subroll(box_x, -dy))
+    return score, nms, m10, m01
 
 
 def _make_small_kernel(body, streak, border, true_w):
@@ -166,7 +187,7 @@ def _make_tiled_kernel(body, streak, border, padded_h, true_h, true_w):
     return kernel
 
 
-def _stencil_call(body, n_out, img, t, streak, border):
+def _stencil_call(body, n_out, img, t, streak, border, interpret=False):
     h, w = img.shape
     band = _TILE + 2 * _HALO
     n_tiles = -(-h // _TILE)
@@ -179,6 +200,7 @@ def _stencil_call(body, n_out, img, t, streak, border):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
+            interpret=interpret,
         )(img, t)
 
     # Pad rows to a band multiple and columns to the 128-lane tile (HBM
@@ -200,24 +222,27 @@ def _stencil_call(body, n_out, img, t, streak, border):
             pltpu.VMEM((band, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        interpret=interpret,
     )(img_p, t)
     return [o[:h, :w] for o in out]
 
 
-@functools.partial(jax.jit, static_argnames=("border", "streak"))
+@functools.partial(jax.jit, static_argnames=("border", "streak", "interpret"))
 def fast_score_map_fused(
     img: jax.Array,
     threshold: jax.Array | float,
     border: int = 20,
     streak: int = 9,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused FAST stage: returns (score_raw, score_nms, m10, m01).
 
     Semantics match ops.fast.fast_score_map + nms3x3 + patch_moments away
-    from the border.
+    from the border.  `interpret=True` runs the kernel in Pallas interpret
+    mode (CPU correctness tests).
     """
     img = img.astype(jnp.float32)
     t = jnp.asarray(threshold, jnp.float32).reshape(1)
-    raw, nms = _stencil_call(_score_maps, 2, img, t, streak, border)
-    m10, m01 = _stencil_call(_moment_maps, 2, img, t, streak, border)
+    raw, nms, m10, m01 = _stencil_call(
+        _all_maps, 4, img, t, streak, border, interpret=interpret)
     return raw, nms, m10, m01
