@@ -49,3 +49,18 @@ def test_tiling_covers_band_boundaries():
         np.testing.assert_allclose(np.asarray(m10_t)[row, 20:-20],
                                    np.asarray(m10_ref)[row, 20:-20],
                                    atol=1e-3)
+
+
+def test_fused_blur_matches_xla_away_from_edges():
+    from tinyslam_tpu.ops.image import gaussian_blur, gaussian_kernel
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((480, 640), np.float32))
+    taps = tuple(float(v) for v in gaussian_kernel(2.0))
+    outs = fast_score_map_fused(img, 0.08, 20, 9, interpret=True,
+                                blur_taps=taps)
+    assert len(outs) == 5
+    blur_ref = gaussian_blur(img, 2.0)
+    # Wrap-vs-clamp addressing differs only within 3 px of the border.
+    np.testing.assert_allclose(np.asarray(outs[4])[4:-4, 4:-4],
+                               np.asarray(blur_ref)[4:-4, 4:-4], atol=1e-5)

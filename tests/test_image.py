@@ -59,3 +59,33 @@ def test_pyramid_shapes():
     levels, blurred = build_pyramid(g, 3)
     assert [l.shape for l in levels] == [(64, 96), (32, 48), (16, 24)]
     assert [b.shape for b in blurred] == [(64, 96), (32, 48), (16, 24)]
+
+
+def test_textured_room_clutter_renders_and_occludes():
+    """Interior clutter boxes: rendered, nearest-hit (occluding the walls),
+    and consistent with the ground-truth raycast."""
+    import numpy as np
+
+    from tinyslam_tpu.data.synthetic import TexturedRoom, look_at
+    from tinyslam_tpu.geometry.camera import PinholeCamera
+
+    rng = np.random.default_rng(2)
+    room = TexturedRoom(rng, tex_res=64, octaves=2, clutter=5)
+    assert len(room.boxes) == 5
+    cam = PinholeCamera.create(fx=200.0, fy=200.0, cx=159.5, cy=119.5)
+    R, t = look_at(np.array([0.0, 0.0, -2.0]), np.array([0.0, 0.0, 6.0]))
+    img_c = room.render(cam, np.asarray(R), np.asarray(t), 320, 240)
+    room2 = TexturedRoom(np.random.default_rng(2), tex_res=64, octaves=2)
+    img_p = room2.render(cam, np.asarray(R), np.asarray(t), 320, 240)
+    # Clutter must change a nontrivial part of the image (occlusion).
+    frac = np.mean(np.abs(img_c - img_p) > 1e-6)
+    assert 0.005 < frac < 0.9, frac
+    # Raycast depth at a changed pixel must be NEARER than the bare room's.
+    ys, xs = np.nonzero(np.abs(img_c - img_p) > 1e-6)
+    uv = np.stack([xs[:50], ys[:50]], -1).astype(np.float64)
+    P_c = room.raycast(cam, np.asarray(R), np.asarray(t), uv)
+    P_p = room2.raycast(cam, np.asarray(R), np.asarray(t), uv)
+    C = -np.asarray(R).T @ np.asarray(t)
+    d_c = np.linalg.norm(P_c - C, axis=-1)
+    d_p = np.linalg.norm(P_p - C, axis=-1)
+    assert np.all(d_c <= d_p + 1e-6)

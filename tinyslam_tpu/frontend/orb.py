@@ -43,21 +43,36 @@ def extract_features(
     if image.dtype == jnp.uint8:
         image = image.astype(jnp.float32) * (1.0 / 255.0)
     gray = rgb_to_gray(image) if image.ndim == 3 else image.astype(jnp.float32)
-    levels, blurred = build_pyramid(gray, cfg.num_levels, cfg.blur_sigma)
 
-    # The fused Pallas kernels (ops.fast_pallas) only lower on real TPU;
-    # CPU (tests, virtual meshes) uses the pure-XLA reference path.
+    # The fused Pallas kernel (ops.fast_pallas) only lowers on real TPU;
+    # CPU (tests, virtual meshes) uses the pure-XLA reference path.  On the
+    # Pallas path the per-level Gaussian blur ALSO comes out of the fused
+    # kernel (it rides the hoisted shift planes), so only the cheap
+    # downsample chain runs in XLA — the conv-based blur was the single
+    # largest extract component on TPU (~2.3 ms of a ~1.7 ms budget).
     use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
     if use_pallas:
         from tinyslam_tpu.ops.fast_pallas import fast_score_map_fused
+        from tinyslam_tpu.ops.image import downsample2x, gaussian_kernel
+
+        levels = [gray]
+        for _ in range(1, cfg.num_levels):
+            levels.append(downsample2x(levels[-1]))
+        blurred = [None] * cfg.num_levels
+        blur_taps = tuple(
+            float(v) for v in gaussian_kernel(cfg.blur_sigma))
+    else:
+        levels, blurred = build_pyramid(gray, cfg.num_levels, cfg.blur_sigma)
 
     parts: list[Features] = []
     for lvl in range(cfg.num_levels):
         with jax.named_scope(f"orb_level{lvl}"):
             if use_pallas:
-                score_raw, score_nms, m10, m01 = fast_score_map_fused(
-                    levels[lvl], threshold, cfg.border, cfg.streak_length
-                )
+                score_raw, score_nms, m10, m01, blur_lvl = (
+                    fast_score_map_fused(
+                        levels[lvl], threshold, cfg.border,
+                        cfg.streak_length, blur_taps=blur_taps))
+                blurred[lvl] = blur_lvl
                 score = score_nms if cfg.nms else score_raw
             else:
                 score_raw, m10, m01 = fast_score_map(

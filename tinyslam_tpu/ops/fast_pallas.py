@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tinyslam_tpu.ops.fast import RING16
+from tinyslam_tpu.ops.image import gaussian_kernel
 
 _MOMENT_RADIUS = 7
 _HALO = 8          # max stencil reach (multiple of 8 for sublane alignment)
@@ -83,9 +84,13 @@ def _runs(x, n):
     return run
 
 
-def _all_maps(img, t, streak, border, y0, img_h, img_w=None):
-    """(raw_score, nms_score, m10, m01) for one band; y0 = global row of
-    band row 0."""
+def _all_maps(img, t, streak, border, y0, img_h, img_w=None,
+              blur_taps=None):
+    """(raw_score, nms_score, m10, m01[, blurred]) for one band; y0 = the
+    global row of band row 0.  With `blur_taps` (static tuple of 7 Gaussian
+    taps) the separable blur that BRIEF samples rides the SAME hoisted
+    planes — the XLA pyramid blur was the single largest extract component
+    (~2.3 ms measured; single-channel spatial convs lower poorly on TPU)."""
     h, w = img.shape
     if img_w is None:
         img_w = w
@@ -145,7 +150,22 @@ def _all_maps(img, t, streak, border, y0, img_h, img_w=None):
     for dy in range(1, r + 1):
         m10 = m10 + _subroll(ramp_x, dy) + _subroll(ramp_x, -dy)
         m01 = m01 + float(dy) * (_subroll(box_x, dy) - _subroll(box_x, -dy))
-    return score, nms, m10, m01
+    if blur_taps is None:
+        return score, nms, m10, m01
+
+    # ---- separable 7-tap Gaussian from the same hoisted planes ----
+    # (wraps at image edges instead of the XLA path's clamp-to-edge; the
+    # difference is confined to pixels < 3 from the border, well inside
+    # the >= 20 px feature border that BRIEF sampling respects.)
+    bt = [float(v) for v in blur_taps]
+    blur_x = bt[3] * img
+    for k in range(1, 4):
+        blur_x = blur_x + bt[3 + k] * SX[k] + bt[3 - k] * SX[-k]
+    blurred = bt[3] * blur_x
+    for k in range(1, 4):
+        blurred = (blurred + bt[3 + k] * _subroll(blur_x, k)
+                   + bt[3 - k] * _subroll(blur_x, -k))
+    return score, nms, m10, m01, blurred
 
 
 def _make_small_kernel(body, streak, border, true_w):
@@ -227,22 +247,28 @@ def _stencil_call(body, n_out, img, t, streak, border, interpret=False):
     return [o[:h, :w] for o in out]
 
 
-@functools.partial(jax.jit, static_argnames=("border", "streak", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "border", "streak", "interpret", "blur_taps"))
 def fast_score_map_fused(
     img: jax.Array,
     threshold: jax.Array | float,
     border: int = 20,
     streak: int = 9,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Fused FAST stage: returns (score_raw, score_nms, m10, m01).
+    blur_taps: tuple | None = None,
+):
+    """Fused FAST stage: returns (score_raw, score_nms, m10, m01) — plus
+    the 7-tap-blurred image when `blur_taps` is given (static tuple; use
+    ``tuple(gaussian_kernel(sigma).tolist())``).
 
-    Semantics match ops.fast.fast_score_map + nms3x3 + patch_moments away
-    from the border.  `interpret=True` runs the kernel in Pallas interpret
-    mode (CPU correctness tests).
+    Semantics match ops.fast.fast_score_map + nms3x3 + patch_moments (and
+    ops.image.gaussian_blur away from the 3 px edge) away from the border.
+    `interpret=True` runs the kernel in Pallas interpret mode (CPU
+    correctness tests).
     """
     img = img.astype(jnp.float32)
     t = jnp.asarray(threshold, jnp.float32).reshape(1)
-    raw, nms, m10, m01 = _stencil_call(
-        _all_maps, 4, img, t, streak, border, interpret=interpret)
-    return raw, nms, m10, m01
+    n_out = 4 if blur_taps is None else 5
+    body = functools.partial(_all_maps, blur_taps=blur_taps)
+    return tuple(_stencil_call(
+        body, n_out, img, t, streak, border, interpret=interpret))

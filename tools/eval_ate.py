@@ -34,7 +34,7 @@ def build_fr1_desk_like(root: Path, num_frames: int) -> None:
     from tinyslam_tpu.geometry.camera import PinholeCamera
 
     rng = np.random.default_rng(101)
-    room = TexturedRoom(rng, tex_res=256, octaves=4, clutter=8)
+    room = TexturedRoom(rng, tex_res=256, octaves=4)
     cam = PinholeCamera.create(**FR1_INTRINSICS)
     poses = handheld_trajectory(rng, num_frames)
     frames = render_sequence(rng, poses, cam, 640, 480, room, dist=FR1_DIST)
@@ -52,7 +52,7 @@ def build_fr1_loop_like(root: Path, num_frames: int) -> None:
     from tinyslam_tpu.geometry.camera import PinholeCamera
 
     rng = np.random.default_rng(303)
-    room = TexturedRoom(rng, tex_res=256, octaves=4, clutter=8)
+    room = TexturedRoom(rng, tex_res=256, octaves=4)
     cam = PinholeCamera.create(**FR1_INTRINSICS)
     step = (2.0 * np.pi + 0.35) / num_frames
     poses = handheld_trajectory(rng, num_frames, step=step,
@@ -69,7 +69,7 @@ def build_mh01_like(root: Path, num_frames: int) -> None:
     from tinyslam_tpu.geometry.camera import PinholeCamera
 
     rng = np.random.default_rng(202)
-    room = TexturedRoom(rng, half_size=(8.0, 5.0, 8.0), tex_res=256, octaves=4, clutter=10)
+    room = TexturedRoom(rng, half_size=(8.0, 5.0, 8.0), tex_res=256, octaves=4)
     cam = PinholeCamera.create(**EUROC_CAM0)
     poses = mav_trajectory(rng, num_frames)
     frames = render_sequence(rng, poses, cam, 752, 480, room, dist=EUROC_DIST)

@@ -28,10 +28,19 @@ F32_FLOPS = 50e12
 
 
 def slope(fn, inputs, reps=9):
-    """Per-call seconds: slope of K dispatches, synced by readback."""
+    """Per-call seconds: slope of K dispatches, synced by readback.
+
+    Adaptive rep count: a kernel that finishes inside the relay's round-trip
+    latency window (sub-ms) produces a ~0 slope at small K — the K extra
+    dispatches hide entirely behind the readback round trip.  Re-measure
+    with more reps until the aggregate device time is resolvable."""
     from tinyslam_tpu.utils.profiling import dispatch_slope
 
-    return dispatch_slope(fn, inputs, reps=reps)
+    t = dispatch_slope(fn, inputs, reps=reps)
+    while t * reps < 5e-3 and reps < 400:
+        reps *= 4
+        t = dispatch_slope(fn, inputs, reps=reps)
+    return t
 
 
 def main():
@@ -60,7 +69,7 @@ def main():
               f"   {100*floor_s/t_s:5.1f}%")
 
     H, W = 480, 640
-    imgs = [jnp.asarray(rng.random((H, W), np.float32)) for _ in range(9)]
+    imgs = [jnp.asarray(rng.random((H, W), np.float32)) for _ in range(48)]
     _ = [np.asarray(im[0, 0]) for im in imgs]
 
     # --- fused FAST score+moments Pallas kernels, level 0 ---
@@ -94,7 +103,7 @@ def main():
     xy = jnp.asarray(rng.uniform(0, 640, (N, 2)).astype(np.float32))
     proj = jnp.asarray(rng.uniform(0, 640, (M, 2)).astype(np.float32))
     dsets = [jnp.asarray(rng.integers(0, 2**32 - 1, (N, 8), np.uint32))
-             for _ in range(9)]
+             for _ in range(64)]
     _ = [np.asarray(d[0, 0]) for d in dsets]
     fm = lambda d: match_descriptors(d, va, db, vb, xy_a=xy, proj_b=proj,
                                      radius_px=20.0)["idx_b"]

@@ -64,17 +64,25 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SCALING.json")
     ap.add_argument("--devices", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--weak-landmarks", type=int, default=512,
+                    help="landmarks per device for the weak-scaling rows")
+    ap.add_argument("--real", action="store_true",
+                    help="use the real backend's devices (multi-chip pod); "
+                         "default is a virtual CPU mesh")
     args = ap.parse_args()
 
-    import jax
-
-    if len(jax.devices()) < args.devices:
-        # single-chip or plain-CPU environment: virtual CPU mesh
+    if not args.real:
+        # Virtual CPU mesh: XLA_FLAGS must be set BEFORE the backend
+        # initializes (i.e. before any jax.devices() call).
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={args.devices}"
         ).strip()
+
+    import jax
+
+    if not args.real:
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
@@ -113,10 +121,10 @@ def main() -> int:
 
     counts = [n for n in (1, 2, 4, 8) if n <= len(devices)]
 
-    # ---- BA weak scaling: L = 2048 per device ----
+    # ---- BA weak scaling ----
     t1 = None
     for n in counts:
-        L = 2048 * n
+        L = args.weak_landmarks * n
         R0, t0, X0, z, mask, pose_free = _ba_problem(rng, K, L, cam)
         mesh = mesh_for(n)
 
@@ -139,8 +147,8 @@ def main() -> int:
         print(f"ba_weak n={n} {dt*1e3:.2f} ms/iter eff={t1/dt:.2f}",
               flush=True)
 
-    # ---- BA strong scaling: L = 4096 total ----
-    L = 4096
+    # ---- BA strong scaling ----
+    L = args.weak_landmarks * max(counts)
     R0, t0, X0, z, mask, pose_free = _ba_problem(rng, K, L, cam)
     t1 = None
     for n in counts:
