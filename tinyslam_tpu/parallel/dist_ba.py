@@ -45,6 +45,20 @@ def bundle_adjust_sharded(
     if point_valid is not None:
         mask = mask & point_valid[:, None]
 
+    fn = _sharded_ba_fn(mesh, max_iters, huber, lam0, lam_up, lam_down)
+    with mesh:
+        return fn(cam, R, t, X, z, mask, pose_free)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_ba_fn(mesh, max_iters, huber, lam0, lam_up, lam_down):
+    """Build (once per (mesh, statics)) the JITTED shard_map program.
+
+    Both halves matter: an unjitted shard_map executes EAGERLY — every
+    primitive and every lax.scan step dispatched one by one (measured
+    ~1300x slower: 2807 ms vs 2.2 ms per LM iteration on a 1-device CPU
+    mesh) — and an uncached jax.jit(run) built per call RECOMPILES per
+    call.  The lru_cache keys on the hashable Mesh + static params."""
     axis = "landmark"
     repl = P()
     shard_L = P(axis)
@@ -65,5 +79,4 @@ def bundle_adjust_sharded(
             preduce=lambda x: jax.lax.psum(x, axis),
         )
 
-    with mesh:
-        return run(cam, R, t, X, z, mask, pose_free)
+    return jax.jit(run)

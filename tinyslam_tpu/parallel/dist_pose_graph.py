@@ -59,6 +59,16 @@ def optimize_pose_graph_sharded(
     if node_valid is None:
         node_valid = jnp.ones((R.shape[0],), bool)
 
+    fn = _sharded_pg_fn(mesh, iters, damping, axis)
+    with mesh:
+        return fn(R, t, edge_i, edge_j, edge_R, edge_t, edge_valid,
+                  edge_weight, node_valid)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_pg_fn(mesh, iters, damping, axis):
+    """Cached JITTED shard_map program (unjitted shard_map executes
+    eagerly, and a fresh jax.jit per call recompiles — see dist_ba.py)."""
     repl = P()
     shard_E = P(axis)
 
@@ -77,9 +87,7 @@ def optimize_pose_graph_sharded(
             preduce=lambda x: jax.lax.psum(x, axis),
         )
 
-    with mesh:
-        return run(R, t, edge_i, edge_j, edge_R, edge_t, edge_valid,
-                   edge_weight, node_valid)
+    return jax.jit(run)
 
 
 # ---------------------------------------------------------------------------
@@ -173,15 +181,10 @@ def optimize_pose_graph_node_sharded(
     """Node-sharded Gauss-Newton pose graph (overlapping Schwarz windows +
     ppermute halo exchange).  Same measurement convention as
     optimize_pose_graph; node 0 is the gauge."""
-    from tinyslam_tpu.backend.pose_graph import edge_residual
-    from tinyslam_tpu.geometry.se3 import se3_compose, se3_exp
-
     n = R.shape[0]
     D = mesh.shape[axis]
     assert n % D == 0, (n, D)
-    B = n // D
-    halo = min(halo, B)
-    W = min(B + 2 * halo, n)
+    halo = min(halo, n // D)
     if edge_weight is None:
         edge_weight = jnp.ones(edge_i.shape, jnp.float32)
 
@@ -195,6 +198,22 @@ def optimize_pose_graph_node_sharded(
     ew_s = jnp.asarray(np.asarray(edge_weight)[sel])
     ep_s = jnp.asarray(sel_prim)
 
+    fn = _node_sharded_fn(mesh, n, iters, halo, sync_every, damping, axis)
+    with mesh:
+        return fn(R, t, ei_s, ej_s, eR_s, et_s, ev_s, ew_s, ep_s)
+
+
+@functools.lru_cache(maxsize=32)
+def _node_sharded_fn(mesh, n, iters, halo, sync_every, damping, axis):
+    """Cached JITTED shard_map program for the node-sharded solver
+    (unjitted shard_map executes eagerly, and a fresh jax.jit per call
+    recompiles — see dist_ba.py)."""
+    from tinyslam_tpu.backend.pose_graph import edge_residual
+    from tinyslam_tpu.geometry.se3 import se3_compose, se3_exp
+
+    D = mesh.shape[axis]
+    B = n // D
+    W = min(B + 2 * halo, n)
     repl = P()
     shard_D = P(axis)
 
@@ -413,5 +432,4 @@ def optimize_pose_graph_node_sharded(
         t_out = jax.lax.all_gather(t_blk, axis).reshape(n, 3)
         return {"R": R_out, "t": t_out, "costs": costs}
 
-    with mesh:
-        return run(R, t, ei_s, ej_s, eR_s, et_s, ev_s, ew_s, ep_s)
+    return jax.jit(run)
