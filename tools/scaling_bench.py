@@ -109,9 +109,15 @@ def main() -> int:
         "host_physical_cores": cores,
         "methodology": (
             "dispatch-slope over distinct inputs; per-LM-iteration time = "
-            "total/max_iters; rows with devices > physical cores are "
-            "oversubscribed (virtual devices share cores) and measure the "
-            "scheduler, not the design - see tool docstring"),
+            "total/max_iters.  CAVEAT: XLA:CPU executes all virtual "
+            "devices' compute in ONE shared thread pool, so wall-clock "
+            "'efficiency' on the virtual mesh measures emulation "
+            "serialization at every device count, not the design; the "
+            "virtual mesh demonstrates CORRECTNESS and the collective "
+            "structure (one O(K^2) psum per LM iteration, independent of "
+            "L), while the multi-chip efficiency claim rests on the "
+            "analytic comms model below (projected_2host) against the "
+            "measured single-device iteration time"),
         "ba_weak": [], "ba_strong": [], "frontend_dp": [],
     }
 
