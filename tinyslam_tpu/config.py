@@ -154,6 +154,25 @@ class VOConfig(_JsonMixin):
                                        # has p~0.8%, so hundreds of batched
                                        # hypotheses are needed — they are one
                                        # vmapped eigh, cheap on TPU.
+    staged_reloc: bool = True          # relocalize via wide-radius guided
+                                       # matching around the stale pose
+                                       # first, global matching as fallback
+                                       # (self-similar texture makes global
+                                       # matches mostly aliases)
+    dup_radius_px: float = 48.0        # near-twin suppression radius for
+                                       # new-landmark insertion; 0 = r4's
+                                       # global descriptor-only gate (which
+                                       # starves creation in self-similar
+                                       # scenes as the map grows)
+    reloc_max_frames: int = 12         # consecutive failed-relocalization
+                                       # frames before DeviceVO abandons the
+                                       # stale pose and re-seeds a FRESH
+                                       # submap at the last known pose
+                                       # (ORB-SLAM3 Atlas-style; 0 disables).
+                                       # Without it a single unrecoverable
+                                       # loss costs every remaining frame
+                                       # (measured: 98 straight reloc
+                                       # failures on the r5 eval)
     track_two_pass: bool = True        # re-match + re-optimize with refined pose
     second_pass_below: int = 150       # run the second pass only when the
                                        # first yields fewer inliers: its job
@@ -162,6 +181,19 @@ class VOConfig(_JsonMixin):
                                        # threshold gains nothing measurable
                                        # and the skip saves ~0.9 ms/frame
     min_parallax_deg: float = 1.5      # bootstrap/triangulation parallax gate
+    tri_band_lo: float = 0.25          # triangulated-depth band vs the
+    tri_band_hi: float = 4.0           # median in-view scene depth: period-
+                                       # aliased epipolar matches (repetitive
+                                       # texture) triangulate at integer
+                                       # multiples/fractions of the true
+                                       # depth and are reprojection-perfect
+                                       # in both views, so only a scene-
+                                       # relative depth band catches them.
+                                       # r4 shipped [0.12, 8.0]: wide enough
+                                       # that half/quarter-depth aliases
+                                       # passed, each pulling the map scale
+                                       # down (measured 0.24 log-scale/m
+                                       # drift, 4.2x collapse over 7 m)
 
 
 @dataclass(frozen=True)

@@ -52,10 +52,17 @@ def _kf_ingest(cam: PinholeCamera, feats: Features, map_state,
                max_distance: int, ratio: float):
     """Fused per-keyframe ingest: landmark association (guided by the
     keyframe's own pose) + place-recognition signature in ONE dispatch —
-    each separate jitted call costs a full relay round trip."""
+    each separate jitted call costs a full relay round trip.
+
+    The association ships as a 3D SNAPSHOT (per-feature landmark position
+    frozen at keyframe creation) rather than live-map indices: the loop
+    probe's old-gauge geometry then survives landmark culling, slot reuse
+    and submap reboots (r5: DeviceVO discards the whole map when it
+    re-seeds a submap — index associations into a discarded map would be
+    garbage, a snapshot is forever valid in its own gauge)."""
     idx, ok = _match_to_map(feats, map_state, max_distance, ratio,
                             cam=cam, R=R, t=t)
-    return idx, ok, _kf_signature(feats)
+    return map_state.X[idx], ok & map_state.valid[idx], _kf_signature(feats)
 
 
 @jax.jit
@@ -86,12 +93,13 @@ def _loop_probe(
     cam: PinholeCamera,
     cur: Features,            # current keyframe features
     old_feats: Features,      # (C, ...) stacked candidate keyframe features
-    old_ids: jax.Array,       # (C,) int32 candidate keyframe ids
-    old_lm_idx: jax.Array,    # (C, cap) landmark index per old feature
+    old_ids: jax.Array,       # (C,) int32 candidate keyframe ids (GLOBAL)
+    old_lm_X: jax.Array,      # (C, cap, 3) landmark snapshot per old feature
     old_lm_valid: jax.Array,  # (C, cap) association validity
-    map_state,                # MapState
+    map_state,                # MapState (current submap)
+    anchor_offset: jax.Array,  # () int32 — global id of local anchor_kf 0
     R_cur: jax.Array, t_cur: jax.Array,   # drifted odometry pose of cur KF
-    kf_id: jax.Array,         # () int32 — current keyframe id
+    kf_id: jax.Array,         # () int32 — current keyframe id (global)
     max_distance: int, ratio: float,
     num_hypotheses: int, pnp_iters: int, inlier_px: float,
 ) -> dict:
@@ -101,6 +109,10 @@ def _loop_probe(
     a single packed summary (VERDICT r3 next-step #3: the per-candidate
     match+PnP sequence with interleaved scalar readbacks was the full-SLAM
     fps bottleneck through the dispatch relay).
+
+    The old-gauge 3D comes from per-keyframe SNAPSHOTS (kf_assoc), so the
+    probe works across submap reboots — the old keyframe's map may no
+    longer exist, its snapshot still measures its gauge.
     """
     from tinyslam_tpu.geometry.pnp import pnp_ransac
 
@@ -112,26 +124,25 @@ def _loop_probe(
     idx_n, val_n = _match_to_map(
         cur, map_state, max_distance, ratio, cam=cam, R=R_cur, t=t_cur)
     z_new = depths(R_cur, t_cur, map_state.X[idx_n])
+    anchor_global = map_state.anchor_kf + anchor_offset
 
-    def one(old_f: Features, old_id: jax.Array, old_lm: jax.Array,
+    def one(old_f: Features, old_id: jax.Array, old_X: jax.Array,
             old_lm_ok: jax.Array):
         # Appearance check: cur descriptors vs the old keyframe's.
         m = match_descriptors(
             cur.desc, cur.valid, old_f.desc, old_f.valid,
             max_distance=max_distance, ratio=ratio, cross_check=True)
         n_appear = jnp.sum(m["valid"].astype(jnp.int32))
-        # Chain: cur i -> old j = m.idx_b[i] -> the landmark the old
-        # keyframe ASSOCIATED AT CREATION (kf_assoc) — still anchored in
-        # the old gauge; only requires the landmark to still be alive.
-        lm = old_lm[m["idx_b"]]
-        chain = (m["valid"] & old_lm_ok[m["idx_b"]]
-                 & map_state.valid[lm])
+        # Chain: cur i -> old j = m.idx_b[i] -> the 3D point the old
+        # keyframe ASSOCIATED AT CREATION (kf_assoc snapshot, old gauge).
+        X_chain = old_X[m["idx_b"]]                       # (N, 3)
+        chain = m["valid"] & old_lm_ok[m["idx_b"]]
         # Absolute pose of CUR in the old gauge.  RANSAC, not refine-only:
         # under real scale drift the odometry pose can be outside the GN
         # convergence basin (the prior still rides along as one hypothesis).
         key = jax.random.fold_in(jax.random.PRNGKey(23), kf_id * 131 + old_id)
         out = pnp_ransac(
-            cam, map_state.X[lm], cur.xy, chain, key,
+            cam, X_chain, cur.xy, chain, key,
             num_hypotheses=num_hypotheses, inlier_px=inlier_px,
             refine_iters=pnp_iters, R_prior=R_cur, t_prior=t_cur)
         # Relative scale: same camera, same scene — depth under the drifted
@@ -141,8 +152,8 @@ def _loop_probe(
         # depths (same camera, same field of view, so the medians compare
         # the same scene even when the feature sets barely intersect — the
         # strict intersection is often just a handful of features).
-        z_old = depths(out["R"], out["t"], map_state.X[lm])
-        recent = map_state.anchor_kf[idx_n] > old_id
+        z_old = depths(out["R"], out["t"], X_chain)
+        recent = anchor_global[idx_n] > old_id
         old_ok = chain & out["inliers"] & (z_old > 1e-3)
         new_ok = val_n & recent & (z_new > 1e-3)
         both = old_ok & new_ok
@@ -167,7 +178,7 @@ def _loop_probe(
     # Unrolled over the (small, static) candidate count: one fused dispatch.
     C = old_ids.shape[0]
     outs = [one(jax.tree.map(lambda x: x[c], old_feats), old_ids[c],
-                old_lm_idx[c], old_lm_valid[c])
+                old_lm_X[c], old_lm_valid[c])
             for c in range(C)]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
@@ -189,12 +200,14 @@ class Slam:
         self.camera = camera
         self.vo = VisualOdometry(cfg, camera, **vo_kwargs)
         self.kf_store: list[Features] = []       # per-KF features
-        # Per-KF feature->landmark association, frozen at keyframe creation
-        # (idx (cap,), ok (cap,)): the loop probe's old-gauge 3D comes from
+        # Per-KF feature->landmark 3D SNAPSHOT, frozen at keyframe creation
+        # (X (cap, 3), ok (cap,)): the loop probe's old-gauge 3D comes from
         # these — re-matching old features against the CURRENT map decays
         # with descriptor refresh and drift (measured: ~20 chain survivors
-        # of ~150 appearance matches), while the stored association only
-        # needs the landmark to still be alive.
+        # of ~150 appearance matches), and a position snapshot survives
+        # landmark culling, slot reuse and submap reboots (r5) where a
+        # live-map index would dangle.  Snapshots ride their keyframe's
+        # Sim(3) correction whenever the pose graph is applied.
         self.kf_assoc: list[tuple[np.ndarray, np.ndarray]] = []
         self.kf_signatures: list[np.ndarray] = []
         self.kf_R: list[np.ndarray] = []         # running best pose per KF
@@ -236,28 +249,29 @@ class Slam:
                 feats = self.vo.kf_feats
             self._append_keyframe(kf_id, R, t, feats)
 
-    def _append_keyframe(self, kf_id: int, R, t, feats: Features):
+    def _append_keyframe(self, kf_id: int, R, t, feats: Features,
+                         edge_weight: float = 1.0):
         assert kf_id == len(self.kf_store)
         self.kf_R.append(np.asarray(R))
         self.kf_t.append(np.asarray(t))
         self.kf_store.append(feats)
-        # Freeze this keyframe's feature->landmark association (guided by
+        # Freeze this keyframe's feature->landmark 3D snapshot (guided by
         # its own pose against the map as it exists NOW, i.e. at creation)
         # and its signature — one fused dispatch, one packed readback.
-        idx, ok, sig = _kf_ingest(
+        X, ok, sig = _kf_ingest(
             self.camera, feats, self.vo.map,
             jnp.asarray(self.kf_R[-1]), jnp.asarray(self.kf_t[-1]),
             max_distance=self.cfg.matcher.max_distance,
             ratio=self.cfg.matcher.ratio)
-        idx, ok, sig = jax.device_get((idx, ok, sig))
-        self.kf_assoc.append((idx, ok))
+        X, ok, sig = jax.device_get((X, ok, sig))
+        self.kf_assoc.append((X, ok))
         self.kf_signatures.append(sig)
         if kf_id > 0:
             Rp, tp = self.kf_R[kf_id - 1], self.kf_t[kf_id - 1]
             Ri, ti = se3_inverse(jnp.asarray(Rp), jnp.asarray(tp))
             Re, te = se3_compose(jnp.asarray(R), jnp.asarray(t), Ri, ti)
             self.edges.append((kf_id - 1, kf_id, np.asarray(Re),
-                               np.asarray(te), 1.0, 1.0))
+                               np.asarray(te), 1.0, float(edge_weight)))
             self._detect_loop(kf_id)
 
     # ------------- loop closure -------------
@@ -278,15 +292,15 @@ class Slam:
         old_stack = jax.tree.map(
             lambda *xs: jnp.stack(xs),
             *[self.kf_store[int(c)] for c in cand])
-        old_lm = jnp.asarray(np.stack(
+        old_lm_X = jnp.asarray(np.stack(
             [self.kf_assoc[int(c)][0] for c in cand]))
         old_ok = jnp.asarray(np.stack(
             [self.kf_assoc[int(c)][1] for c in cand]))
         # ONE dispatch for both candidates; ONE packed readback.
         probe = _loop_probe(
             self.camera, cur, old_stack, jnp.asarray(cand),
-            old_lm, old_ok,
-            self.vo.map,
+            old_lm_X, old_ok,
+            self.vo.map, jnp.int32(self._anchor_offset()),
             jnp.asarray(self.kf_R[kf_id]), jnp.asarray(self.kf_t[kf_id]),
             jnp.int32(kf_id),
             max_distance=self.cfg.matcher.max_distance,
@@ -328,10 +342,16 @@ class Slam:
             # Relative scale of the new local map w.r.t. the old gauge:
             # per-feature ratio when enough pairs support it, else the
             # median-of-medians fallback, else no scale information (1.0).
+            # The fallback compares medians of two different landmark
+            # subsets, so it is biased when their spatial distributions
+            # differ (ADVICE r4) — an edge built on it ships at reduced
+            # weight.
             s_e = float(probe["s_e"][c])
+            weight = 5.0
             if (int(probe["n_scale_pairs"][c]) < pg.loop_min_scale_pairs
                     or not np.isfinite(s_e)):
                 s_e = float(probe["s_e_med"][c])
+                weight = 2.0
                 if (min(int(probe["n_scale_old"][c]),
                         int(probe["n_scale_new"][c])) < pg.loop_min_scale_pairs
                         or not np.isfinite(s_e)):
@@ -350,7 +370,7 @@ class Slam:
             Re, te, se = sim3_compose(Rn, tn, sn,
                                       *sim3_inverse(Ro, to, so))
             self.edges.append((int(old), kf_id, np.asarray(Re),
-                               np.asarray(te), float(se), 5.0))
+                               np.asarray(te), float(se), weight))
             self.num_loop_closures += 1
             self._optimize_graph()
             return
@@ -469,6 +489,32 @@ class Slam:
         return (R_old, t_old, R_sim, t_sim, s_sim,
                 np.asarray(R_se), np.asarray(t_se), corr, n)
 
+    def _anchor_offset(self) -> int:
+        """Global keyframe id of the current submap's local anchor 0 (the
+        host tracker never reboots, so 0; DeviceSlam overrides)."""
+        return 0
+
+    def _reanchor_assoc_snapshots(self, R_old, t_old, R_sim, t_sim, s_sim, n):
+        """Ride each keyframe's Sim(3) correction into its kf_assoc 3D
+        snapshot (the snapshots define the probe's old gauge — leaving them
+        behind after a solve would make every later loop edge against a
+        corrected keyframe measure a phantom offset)."""
+        if n == 0 or not self.kf_assoc:
+            return
+        n = min(n, len(self.kf_assoc))
+        cap = self.kf_assoc[0][0].shape[0]
+        Xs = np.stack([self.kf_assoc[k][0] for k in range(n)])
+        oks = np.stack([self.kf_assoc[k][1] for k in range(n)])
+        anchor = np.repeat(np.arange(n, dtype=np.int32), cap)
+        newX = np.asarray(_reanchor_landmarks(
+            jnp.asarray(Xs.reshape(-1, 3)), jnp.asarray(anchor),
+            jnp.asarray(oks.reshape(-1)),
+            jnp.asarray(R_old[:n]), jnp.asarray(t_old[:n]),
+            jnp.asarray(R_sim[:n]), jnp.asarray(t_sim[:n]),
+            jnp.asarray(s_sim[:n]))).reshape(n, cap, 3)
+        for k in range(n):
+            self.kf_assoc[k] = (newX[k], oks[k])
+
     def _apply_graph_result(self, snap, solved):
         (R_old, t_old, R_sim, t_sim, s_sim, R_se, t_se, corr, n) = (
             self._extend_solution(snap, solved, self.kf_R, self.kf_t))
@@ -480,6 +526,7 @@ class Slam:
                 jnp.asarray(R_sim), jnp.asarray(t_sim), jnp.asarray(s_sim),
             )
         )
+        self._reanchor_assoc_snapshots(R_old, t_old, R_sim, t_sim, s_sim, n)
         # Update stored keyframe poses + the VO window + current pose.
         for i in range(n):
             self.kf_R[i] = R_se[i]
@@ -587,6 +634,17 @@ class DeviceSlam(Slam):
         self.vo = DeviceVO(cfg, camera, chunk=chunk)
         self._synced_stats = 0          # stats entries scanned for keyframes
         self._kf_frame: dict[int, int] = {}   # kf_id -> frame index fallback
+        # Global-keyframe-id offset of the current submap: the device
+        # tracker restarts its local keyframe numbering (and its map's
+        # anchor ids) at every reboot; the SLAM layer numbers keyframes
+        # globally so the pose graph spans submaps (global = offset +
+        # local).  The reboot hook pulls not-yet-synced keyframes out of
+        # the device window before the state is discarded.
+        self._kf_offset = 0
+        self.vo.pre_reboot_hook = self._pre_reboot
+
+    def _anchor_offset(self) -> int:
+        return self._kf_offset
 
     # ------------- keyframe sync (chunk granularity) -------------
     def process_frame(self, image):
@@ -596,16 +654,34 @@ class DeviceSlam(Slam):
         vo.process(image)
         if vo.state is not None and not was_init:
             self._sync_bootstrap()
-        elif len(vo._pending) > pending_before:
+        elif vo.state is not None and len(vo._pending) > pending_before:
             self._sync_chunk()
         return vo.stats[-1] if vo.stats else None
 
+    def _pre_reboot(self):
+        """DeviceVO is about to discard its state for a fresh submap: sync
+        any keyframes still only in the device window."""
+        self._sync_chunk()
+
     def _sync_bootstrap(self):
-        """Bootstrap ran on the host tracker; pull its two keyframes."""
+        """A bootstrap completed on the host tracker (initial or submap
+        reboot); pull its two keyframes under GLOBAL ids.  Across a reboot
+        the odometry edge into the first new keyframe runs through the
+        stale lost-pose guess, so it ships at reduced weight."""
         h = self.vo._host
-        for kf_id, R, t in h.kf_poses_log:
+        self._kf_offset = len(self.kf_store)
+        first_new = self._kf_offset > 0
+        base = self._synced_stats
+        kf_stat_frames = [base + i for i, s in
+                          enumerate(self.vo.stats[base:]) if s.is_keyframe]
+        for j, (kf_id, R, t) in enumerate(h.kf_poses_log):
             feats = h.kf0_feats if kf_id == 0 else h.kf_feats
-            self._append_keyframe(kf_id, R, t, feats)
+            gid = self._kf_offset + kf_id
+            self._append_keyframe(
+                gid, R, t, feats,
+                edge_weight=0.3 if (first_new and kf_id == 0) else 1.0)
+            if j < len(kf_stat_frames):
+                self._kf_frame[gid] = kf_stat_frames[j]
         self._synced_stats = len(self.vo.stats)
         self._refresh_window_poses()
 
@@ -613,8 +689,10 @@ class DeviceSlam(Slam):
         vo = self.vo
         vo.flush()                      # materialize pending summaries
         state = vo.state
-        # Map device-phase keyframe stats to kf ids (pose fallback for
-        # keyframes that rolled out of the window within one chunk).
+        if state is None:
+            return
+        # Map device-phase keyframe stats to GLOBAL kf ids (pose fallback
+        # for keyframes that rolled out of the window within one chunk).
         new_stats = vo.stats[self._synced_stats:]
         next_kf = (max(self._kf_frame) + 1) if self._kf_frame else len(
             self.kf_store)
@@ -624,30 +702,31 @@ class DeviceSlam(Slam):
                 next_kf += 1
         self._synced_stats = len(vo.stats)
 
-        total = int(state.num_keyframes)
+        total = self._kf_offset + int(state.num_keyframes)
         if total > len(self.kf_store):
             from tinyslam_tpu.models.vo_device import KF_RING
 
             win_kf = np.asarray(state.win_kf_id)
             win_valid = np.asarray(state.win_valid)
-            for kf_id in range(len(self.kf_store), total):
+            for gid in range(len(self.kf_store), total):
+                local = gid - self._kf_offset
                 # Features always come from the device keyframe ring —
                 # immune to window rolling (VERDICT r3 weak #5); the pose
                 # prefers the BA-refined window slot when still present.
                 feats = jax.tree.map(
-                    lambda x: x[kf_id % KF_RING], state.kf_ring)
-                slots = np.nonzero(win_valid & (win_kf == kf_id))[0]
+                    lambda x: x[local % KF_RING], state.kf_ring)
+                slots = np.nonzero(win_valid & (win_kf == local))[0]
                 if len(slots):
                     slot = int(slots[0])
                     R = np.asarray(state.win_R[slot])
                     t = np.asarray(state.win_t[slot])
                 else:
-                    frame = self._kf_frame.get(kf_id)
+                    frame = self._kf_frame.get(gid)
                     if frame is not None and frame < len(vo.trajectory):
                         R, t = vo.trajectory[frame]
                     else:
                         R, t = self.kf_R[-1], self.kf_t[-1]
-                self._append_keyframe(kf_id, R, t, feats)
+                self._append_keyframe(gid, R, t, feats)
         self._refresh_window_poses()
         if self._worker is not None:
             res = self._worker.poll()
@@ -663,20 +742,28 @@ class DeviceSlam(Slam):
         win_R = np.asarray(state.win_R)
         win_t = np.asarray(state.win_t)
         for slot in range(len(win_valid)):
-            kf_id = int(win_kf[slot])
-            if win_valid[slot] and 0 <= kf_id < len(self.kf_R):
-                self.kf_R[kf_id] = win_R[slot]
-                self.kf_t[kf_id] = win_t[slot]
+            gid = self._kf_offset + int(win_kf[slot])
+            if win_valid[slot] and self._kf_offset <= gid < len(self.kf_R):
+                self.kf_R[gid] = win_R[slot]
+                self.kf_t[gid] = win_t[slot]
 
     # ------------- corrections into device state -------------
     def _apply_graph_result(self, snap, solved):
         state = self.vo.state
-        if state is None:
-            return
         (R_old, t_old, R_sim, t_sim, s_sim, R_se, t_se, corr, n) = (
             self._extend_solution(snap, solved, self.kf_R, self.kf_t))
+        for i in range(n):
+            self.kf_R[i] = R_se[i]
+            self.kf_t[i] = t_se[i]
+        self._reanchor_assoc_snapshots(R_old, t_old, R_sim, t_sim, s_sim, n)
+        if state is None:
+            # Mid-reboot (host bootstrap phase): no device state to move;
+            # the keyframe tables and snapshots above carry the correction.
+            return
+        # Landmark anchors are LOCAL to the current submap's numbering.
+        anchor_global = state.map.anchor_kf + jnp.int32(self._kf_offset)
         new_X = _reanchor_landmarks(
-            state.map.X, state.map.anchor_kf, state.map.valid,
+            state.map.X, anchor_global, state.map.valid,
             jnp.asarray(R_old), jnp.asarray(t_old),
             jnp.asarray(R_sim), jnp.asarray(t_sim), jnp.asarray(s_sim))
         # One readback + one upload instead of 2K tiny .at[].set dispatches
@@ -686,10 +773,10 @@ class DeviceSlam(Slam):
         win_valid = np.asarray(state.win_valid)
         win_kf = np.asarray(state.win_kf_id)
         for slot in range(len(win_valid)):
-            kf_id = int(win_kf[slot])
-            if win_valid[slot] and 0 <= kf_id < n:
-                win_R_np[slot] = R_se[kf_id]
-                win_t_np[slot] = t_se[kf_id]
+            gid = self._kf_offset + int(win_kf[slot])
+            if win_valid[slot] and self._kf_offset <= gid < n:
+                win_R_np[slot] = R_se[gid]
+                win_t_np[slot] = t_se[gid]
         win_R = jnp.asarray(win_R_np)
         win_t = jnp.asarray(win_t_np)
         live = sim3_compose(*corr, state.R, state.t,
@@ -699,9 +786,6 @@ class DeviceSlam(Slam):
             map=state.map.replace(X=new_X),
             win_R=win_R, win_t=win_t, R=live_R, t=live_t,
         )
-        for i in range(n):
-            self.kf_R[i] = R_se[i]
-            self.kf_t[i] = t_se[i]
 
     def finalize(self):
         """Flush the tracker's partial chunk, sync stragglers, apply any

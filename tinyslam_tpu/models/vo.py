@@ -112,6 +112,9 @@ def _triangulate_and_insert(
     max_new: int,
     min_parallax_cos: float = 0.9998,
     max_reproj_px: float = 4.0,
+    band_lo: float = 0.25,
+    band_hi: float = 4.0,
+    dup_radius_px: float = 48.0,
 ):
     """Triangulate descriptor-matched (a, b) feature pairs and insert the
     accepted new landmarks into free map slots.
@@ -180,18 +183,32 @@ def _triangulate_and_insert(
                & (v_m > 0) & (v_m < 2.0 * cam.cy + 1.0))
     med_z = jnp.nanmedian(jnp.where(in_view, z_map, jnp.nan))
     have_scene = jnp.sum(in_view) >= 30
-    band_ok = (za > 0.12 * med_z) & (za < 8.0 * med_z)
+    band_ok = (za > band_lo * med_z) & (za < band_hi * med_z)
     accept &= jnp.where(have_scene & jnp.isfinite(med_z), band_ok, True)
 
     # Duplicate suppression: a candidate whose descriptor is already in the
     # map would create a near-twin landmark; twins make the matcher's ratio
     # test reject BOTH (best ~ second-best), which progressively poisons
     # tracking.  One extra MXU Hamming matmul kills them at the source.
+    #
+    # LOCALIZED (r5): the twin test is harmful only when the twin lands in
+    # the same guided-matching neighbourhood — suppressing on descriptor
+    # similarity ALONE starves landmark creation in self-similar scenes
+    # (measured on the r5 eval: per-keyframe insertions collapsed from
+    # ~100-300 to ~1-5 once the map passed ~3k landmarks, the map coverage
+    # hole then killed tracking at frame ~215).  A twin is a (similar
+    # descriptor) AND (projects within ~2x the guided radius) pair.
     from tinyslam_tpu.ops.hamming import hamming_distance_matrix
 
     d_map = hamming_distance_matrix(feats_a.desc, map_state.desc)   # (N, M)
-    d_map = jnp.where(map_state.valid[None, :], d_map, 1 << 14)
-    accept &= jnp.min(d_map, axis=1) > 40
+    proj_m = jnp.stack([u_m, v_m], axis=-1)                         # (M, 2)
+    pdist2 = jnp.sum(
+        (feats_a.xy[:, None, :] - proj_m[None, :, :]) ** 2, axis=-1)
+    near = (pdist2 < dup_radius_px ** 2) & in_view[None, :]
+    similar = (d_map <= 40) & map_state.valid[None, :]
+    # dup_radius_px = 0 falls back to the global descriptor-only gate.
+    twin = jnp.where(dup_radius_px > 0, similar & near, similar)
+    accept &= ~jnp.any(twin, axis=1)
 
     # Rank candidates: accepted first (by feature score), take max_new.
     rank_key = jnp.where(accept, feats_a.score, -1.0)
@@ -514,6 +531,9 @@ class VisualOdometry:
                 R_b, t_b, ref_feats,
                 m["idx_b"], m["valid"], already,
                 max_new=self.cfg.frontend.features_per_level,
+                band_lo=self.cfg.vo.tri_band_lo,
+                band_hi=self.cfg.vo.tri_band_hi,
+                dup_radius_px=self.cfg.vo.dup_radius_px,
             )
             n_new += int(n_ins)
             # Re-record the partner's observations so the landmarks just
@@ -565,25 +585,48 @@ class VisualOdometry:
             bool(self.stats) and not self.stats[-1].tracking)
         self.force_reloc = False
         if relocalizing:
-            # Lost last frame: the prediction is unreliable — GLOBAL matching
-            # plus absolute-pose RANSAC (pnp_refine alone is a local method
-            # and cannot recover from a stale pose).
-            idx, mvalid = _match_to_map(
-                feats, self.map, cfg.matcher.max_distance, cfg.matcher.ratio
-            )
+            # Lost last frame: the prediction is unreliable — absolute-pose
+            # RANSAC (pnp_refine alone is a local method and cannot recover
+            # from a stale pose).  STAGED matching (r5): under self-similar
+            # texture a fully global match is mostly aliases (measured on
+            # the r5 eval: ~150 ratio-passing matches, <= 3 PnP inliers,
+            # 98 consecutive reloc failures), while the stale pose is
+            # usually only a few frames old — so first try a WIDE-radius
+            # guided match around it, and only fall back to the global
+            # match if that cannot seat a pose.
             from tinyslam_tpu.geometry.pnp import pnp_ransac
 
-            out = pnp_ransac(
-                self.camera, self.map.X[idx], feats.xy, mvalid,
-                jax.random.PRNGKey(self.frame_idx),
-                num_hypotheses=cfg.vo.reloc_hypotheses,
-                inlier_px=cfg.vo.pnp_inlier_px,
-                refine_iters=cfg.vo.pnp_iters,
-                # The stale pose as one extra hypothesis: after a restore or
-                # a brief occlusion it is often still the best initializer,
-                # and it costs one vote pass.
-                R_prior=R_pred, t_prior=t_pred,
-            )
+            def _reloc_attempt(guided: bool):
+                if guided:
+                    i_, v_ = _match_to_map(
+                        feats, self.map, cfg.matcher.max_distance,
+                        cfg.matcher.ratio,
+                        cam=self.camera, R=R_pred, t=t_pred, radius_px=64.0)
+                else:
+                    i_, v_ = _match_to_map(
+                        feats, self.map, cfg.matcher.max_distance,
+                        cfg.matcher.ratio)
+                o_ = pnp_ransac(
+                    self.camera, self.map.X[i_], feats.xy, v_,
+                    jax.random.PRNGKey(self.frame_idx),
+                    num_hypotheses=cfg.vo.reloc_hypotheses,
+                    inlier_px=cfg.vo.pnp_inlier_px,
+                    refine_iters=cfg.vo.pnp_iters,
+                    # The stale pose as one extra hypothesis: after a
+                    # restore or a brief occlusion it is often still the
+                    # best initializer, and it costs one vote pass.
+                    R_prior=R_pred, t_prior=t_pred,
+                )
+                return i_, v_, o_
+
+            if cfg.vo.staged_reloc:
+                idx, mvalid, out = _reloc_attempt(True)
+                if int(out["num_inliers"]) < 20:
+                    idx_g, mvalid_g, out_g = _reloc_attempt(False)
+                    if int(out_g["num_inliers"]) > int(out["num_inliers"]):
+                        idx, mvalid, out = idx_g, mvalid_g, out_g
+            else:
+                idx, mvalid, out = _reloc_attempt(False)
         else:
             idx, mvalid = _match_to_map(
                 feats, self.map, cfg.matcher.max_distance, cfg.matcher.ratio,

@@ -285,6 +285,9 @@ def _insert_keyframe(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
             R_b, t_b, ref_feats,
             m["idx_b"], m["valid"], already,
             max_new=cfg.frontend.features_per_level,
+            band_lo=cfg.vo.tri_band_lo,
+            band_hi=cfg.vo.tri_band_hi,
+            dup_radius_px=cfg.vo.dup_radius_px,
         )
         state = state.replace(map=new_map)
         # Second-view registration for the just-triangulated landmarks.
@@ -340,18 +343,46 @@ def track_step(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
     def reloc_branch(_):
         from tinyslam_tpu.geometry.pnp import pnp_ransac
 
-        idx, mvalid = _match_to_map(
-            feats, state.map, cfg.matcher.max_distance, cfg.matcher.ratio)
         key = jax.random.fold_in(jax.random.PRNGKey(17), state.frame_idx)
-        out = pnp_ransac(
-            cam, state.map.X[idx], feats.xy, mvalid, key,
-            num_hypotheses=cfg.vo.reloc_hypotheses,
-            inlier_px=cfg.vo.pnp_inlier_px, refine_iters=cfg.vo.pnp_iters,
-            # The stale pose as one extra hypothesis (same as the host loop):
-            # after a restore or brief occlusion it is often still closest.
-            R_prior=R_pred, t_prior=t_pred)
-        out = {k: out[k] for k in ("R", "t", "inliers", "num_inliers", "rmse")}
-        return idx, mvalid, out
+
+        # Staged reloc (r5, mirrors models/vo.py): wide-radius guided match
+        # around the stale pose first (self-similar texture makes the global
+        # match mostly aliases), global match as the fallback; keep whichever
+        # PnP seats more inliers.
+        def attempt(guided):
+            if guided:
+                idx, mvalid = _match_to_map(
+                    feats, state.map, cfg.matcher.max_distance,
+                    cfg.matcher.ratio, cam=cam, R=R_pred, t=t_pred,
+                    radius_px=64.0)
+            else:
+                idx, mvalid = _match_to_map(
+                    feats, state.map, cfg.matcher.max_distance,
+                    cfg.matcher.ratio)
+            out = pnp_ransac(
+                cam, state.map.X[idx], feats.xy, mvalid, key,
+                num_hypotheses=cfg.vo.reloc_hypotheses,
+                inlier_px=cfg.vo.pnp_inlier_px,
+                refine_iters=cfg.vo.pnp_iters,
+                # The stale pose as one extra hypothesis (same as the host
+                # loop): after a restore or occlusion it is often closest.
+                R_prior=R_pred, t_prior=t_pred)
+            out = {k: out[k]
+                   for k in ("R", "t", "inliers", "num_inliers", "rmse")}
+            return idx, mvalid, out
+
+        if not cfg.vo.staged_reloc:
+            return attempt(False)
+        res_w = attempt(True)
+
+        def fallback(_):
+            res_g = attempt(False)
+            return _tree_where(
+                res_g[2]["num_inliers"] > res_w[2]["num_inliers"],
+                res_g, res_w)
+
+        return jax.lax.cond(
+            res_w[2]["num_inliers"] < 20, fallback, lambda _: res_w, None)
 
     idx, mvalid, out = jax.lax.cond(
         state.last_tracking, track_branch, reloc_branch, None)
@@ -486,6 +517,69 @@ class DeviceVO:
         self.trajectory: list[tuple[np.ndarray, np.ndarray]] = []
         self.stats: list[VOStats] = []
         self._frame_idx = -1
+        # Submap chaining (r5): when relocalization fails for
+        # cfg.vo.reloc_max_frames straight frames the tracker abandons the
+        # stale pose and re-seeds a FRESH submap anchored at the last known
+        # global pose (ORB-SLAM3's Atlas does the same).  `_base` maps the
+        # global world frame to the CURRENT bootstrap's world frame; device
+        # state is always kept global (the base is folded in at lift time).
+        self._base: tuple[np.ndarray, np.ndarray] = (
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        self._lost_streak = 0
+        self.num_reboots = 0
+        self.submap_events: list[dict] = []
+        # Called just before a reboot discards device state (the SLAM layer
+        # uses it to pull not-yet-synced keyframes out of the window).
+        self.pre_reboot_hook = None
+
+    # -------- submap chaining --------
+    def _apply_base_to_host(self):
+        """Fold the submap base transform into the freshly-bootstrapped
+        host tracker so every pose/point it hands over is GLOBAL.
+
+        T_base: global world -> submap world; a submap pose T_l maps
+        submap world -> camera, so the global pose is T_l o T_base and a
+        submap point X_l lifts to X_g = R_b^T (X_l - t_b).  (Identity on
+        the first bootstrap.)"""
+        R_b, t_b = self._base
+        if np.allclose(R_b, np.eye(3)) and np.allclose(t_b, 0.0):
+            return
+        h = self._host
+        Rb = jnp.asarray(R_b)
+        tb = jnp.asarray(t_b)
+        h.win_R, h.win_t = (
+            jnp.einsum("kij,jl->kil", h.win_R, Rb),
+            jnp.einsum("kij,j->ki", h.win_R, tb) + h.win_t,
+        )
+        h.R, h.t = se3_compose(h.R, h.t, Rb, tb)
+        h.kf_pose = se3_compose(*h.kf_pose, Rb, tb)
+        h.kf_poses_log = [
+            (k, np.asarray(R @ R_b), np.asarray(R @ t_b + t))
+            for k, R, t in h.kf_poses_log
+        ]
+        h.map = h.map.replace(
+            X=jnp.where(h.map.valid[:, None], (h.map.X - tb) @ Rb, h.map.X))
+        self._base = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+
+    def _reboot(self):
+        """Relocalization has failed for cfg.vo.reloc_max_frames straight
+        frames: drop the stale submap state and re-seed a fresh bootstrap
+        anchored at the last known global pose.  The new submap's monocular
+        scale is re-normalized at bootstrap (a scale break the pose graph
+        can absorb later through a Sim(3) loop edge)."""
+        self._drain()
+        if self.pre_reboot_hook is not None:
+            self.pre_reboot_hook()
+        if self.trajectory:
+            R_last, t_last = self.trajectory[-1]
+            self._base = (np.asarray(R_last, np.float32).copy(),
+                          np.asarray(t_last, np.float32).copy())
+        self.state = None
+        self._host = VisualOdometry(self.cfg, self.camera)
+        self._lost_streak = 0
+        self.num_reboots += 1
+        self.submap_events.append(
+            {"frame": self._frame_idx, "base": self._base})
 
     # -------- bootstrap state handoff --------
     def _lift_state(self) -> VOState:
@@ -536,9 +630,13 @@ class DeviceVO:
         self._frame_idx += 1
         if self.state is None:
             st = self._host.process(image)
-            self.trajectory.append(self._host.trajectory[-1])
+            R_l, t_l = self._host.trajectory[-1]
+            R_b, t_b = self._base
+            self.trajectory.append(
+                (np.asarray(R_l) @ R_b, np.asarray(R_l) @ t_b + t_l))
             self.stats.append(st)
             if self._host.initialized:
+                self._apply_base_to_host()
                 self.state = self._lift_state()
             return
         self._buf.append(jnp.asarray(image))
@@ -556,11 +654,25 @@ class DeviceVO:
         self.state, ys = track_chunk(self.camera, self.cfg, self.state,
                                      images, active)
         self._pending.append((n, ys))  # lazy: no readback here
+        patience = self.cfg.vo.reloc_max_frames
+        if patience > 0:
+            # One small readback per CHUNK (not per frame): the tracking
+            # flags, to detect unrecoverable loss.  Waits on this chunk's
+            # compute, which the host loop would do at the next dispatch
+            # anyway (the carry feeds it).
+            flags = np.asarray(ys["summary"][:n, 3]) > 0.5
+            for f in flags:
+                self._lost_streak = 0 if f else self._lost_streak + 1
+            if self._lost_streak >= patience:
+                self._reboot()
 
     def flush(self):
         """Dispatch any partial chunk and materialize all pending summaries
         (the ONLY device->host synchronization point)."""
         self._dispatch()
+        self._drain()
+
+    def _drain(self):
         for n, ys in self._pending:
             R = np.asarray(ys["R"][:n])
             t = np.asarray(ys["t"][:n])

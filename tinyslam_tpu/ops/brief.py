@@ -33,6 +33,21 @@ import numpy as np
 
 PATCH_RADIUS = 13  # +/-13 box, as the reference's table (brief.wgsl coords)
 
+# MXU precision for the binned-BRIEF matmuls.  A bf16-rounded pixel carries
+# ~0.4% relative error — about one 8-bit gray level — so a few descriptor
+# bits differ vs the f32 path; an r5 A/B on the eval-grade sequence showed
+# the difference is NOT load-bearing (tracked 208 f32 vs 213 bf16, chaos-
+# level), while f32 multiplies cost 3.4x frontend extract time (5.4 ms vs
+# 1.6 ms — these matmuls are the front-end's dominant FLOPs).  bf16 is
+# therefore the default; set TINYSLAM_BRIEF_PRECISION=float32 to A/B.
+import os as _os
+
+_MM_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "float32": jax.lax.Precision.HIGHEST,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("TINYSLAM_BRIEF_PRECISION", "default")]
+
 
 def _make_pattern(num_pairs: int = 256, seed: int = 7) -> np.ndarray:
     """(num_pairs, 2, 2) int32: [pair, point a/b, (x, y)]; deterministic."""
@@ -134,19 +149,16 @@ def brief_descriptors_binned(
     # exact (a one-hot dot is a copy).
     col_onehot = jax.nn.one_hot(
         bx[:, None] + jnp.arange(ps)[None, :], w, dtype=jnp.float32)
-    # precision=DEFAULT (bf16 multiplies): these are the front-end's dominant
-    # MXU FLOPs and descriptor bits tolerate bf16 rounding; the framework-wide
-    # float32 default (tinyslam_tpu/__init__.py) exists for the GEOMETRY path.
     patches = jnp.einsum(
         "nrw,ncw->nrc", rows, col_onehot,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)             # (N, ps, ps)
+        precision=_MM_PRECISION)                         # (N, ps, ps)
 
     diff = jax.lax.dot_general(
         patches.reshape(n, ps * ps), D,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)             # (N, bins*256)
+        precision=_MM_PRECISION)                         # (N, bins*256)
     bits_all = (diff > 0).reshape(n, bins, 256)
 
     two_pi = 2.0 * np.pi

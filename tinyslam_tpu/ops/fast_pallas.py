@@ -155,8 +155,14 @@ def _all_maps(img, t, streak, border, y0, img_h, img_w=None,
 
     # ---- separable 7-tap Gaussian from the same hoisted planes ----
     # (wraps at image edges instead of the XLA path's clamp-to-edge; the
-    # difference is confined to pixels < 3 from the border, well inside
-    # the >= 20 px feature border that BRIEF sampling respects.)
+    # difference is confined to blurred pixels < 3 px from the edge.
+    # BRIEF's rotated reach from a feature is up to PATCH_REACH = 19 px,
+    # so a feature at the default 20 px border can sample blurred pixels
+    # 1 px from the edge where the two backends disagree — descriptors of
+    # border features may differ between the Pallas and XLA paths by a few
+    # bits (ADVICE r4).  Matching is ratio/distance-gated, so bit-level
+    # backend divergence is within the matcher's tolerance; bit-exact
+    # cross-backend parity requires border >= PATCH_REACH + 3 = 22.)
     bt = [float(v) for v in blur_taps]
     blur_x = bt[3] * img
     for k in range(1, 4):
@@ -234,7 +240,7 @@ def _stencil_call(body, n_out, img, t, streak, border, interpret=False):
         grid=(n_tiles,),
         out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * n_out,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[out_spec] * n_out,

@@ -46,11 +46,23 @@ def _streaming_shapes_ok(n: int, m: int) -> bool:
             and (m <= 8192 or m % 8192 == 0))
 
 
-def _streaming_eligible(n: int, m: int) -> bool:
-    """The Pallas streaming matcher needs TPU + block-divisible shapes."""
+def _streaming_eligible(n: int, m: int, max_distance: int,
+                        ratio: float) -> bool:
+    """The Pallas streaming matcher needs TPU + block-divisible shapes +
+    a config its penalty formulation can represent: a real distance must
+    never beat a penalized one (max_distance < PEN) and a penalized
+    second-best must never tighten the ratio test (ratio * PEN >= 256).
+    Configs outside that envelope (e.g. ratio 0.7) are still legal — they
+    fall back to the XLA matcher (ADVICE r4: asserting here crashed legal
+    MatcherConfig values at runtime on TPU only)."""
     import jax as _jax
 
-    return _jax.default_backend() == "tpu" and _streaming_shapes_ok(n, m)
+    from tinyslam_tpu.ops.match_pallas import PEN
+
+    return (_jax.default_backend() == "tpu"
+            and _streaming_shapes_ok(n, m)
+            and max_distance < PEN
+            and ratio * PEN >= 256)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -93,14 +105,13 @@ def match_descriptors(
     n, m = desc_a.shape[0], desc_b.shape[0]
     guided_stream = xy_a is not None and proj_b is not None
     if use_streaming is None:
-        use_streaming = pair_mask is None and _streaming_eligible(n, m)
+        use_streaming = pair_mask is None and _streaming_eligible(
+            n, m, max_distance, ratio)
     if use_streaming:
         from tinyslam_tpu.ops.match_pallas import PEN, match_reduce_streaming
 
-        # The penalty formulation is only equivalent to the XLA mask while
-        # a real distance can never beat a penalized one (max_distance <
-        # PEN) and a penalized second-best can never tighten the ratio test
-        # (ratio * PEN >= 256).  Enforce, instead of silently diverging.
+        # Caller forced streaming: the penalty formulation must be able to
+        # represent this config (see _streaming_eligible).
         assert max_distance < PEN, (max_distance, PEN)
         assert ratio * PEN >= 256, (ratio, PEN)
         sa = descriptor_signs(desc_a)

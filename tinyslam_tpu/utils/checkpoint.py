@@ -182,6 +182,16 @@ def save_device_vo(dvo, path) -> None:
     meta = {
         "device": True,
         "frame_idx": dvo._frame_idx,
+        "base": [np.asarray(dvo._base[0]).tolist(),
+                 np.asarray(dvo._base[1]).tolist()],
+        "lost_streak": dvo._lost_streak,
+        "num_reboots": dvo.num_reboots,
+        "submap_events": [
+            {"frame": e["frame"],
+             "base": [np.asarray(e["base"][0]).tolist(),
+                      np.asarray(e["base"][1]).tolist()]}
+            for e in dvo.submap_events
+        ],
         "trajectory": [
             [np.asarray(R).tolist(), np.asarray(t).tolist()]
             for R, t in dvo.trajectory
@@ -284,6 +294,17 @@ def restore_device_vo(dvo, path) -> None:
         for R, t in meta["trajectory"]
     ]
     dvo.stats = [VOStats(**s) for s in meta["stats"]]
+    if "base" in meta:
+        dvo._base = (np.asarray(meta["base"][0], np.float32),
+                     np.asarray(meta["base"][1], np.float32))
+    dvo._lost_streak = meta.get("lost_streak", 0)
+    dvo.num_reboots = meta.get("num_reboots", 0)
+    dvo.submap_events = [
+        {"frame": e["frame"],
+         "base": (np.asarray(e["base"][0], np.float32),
+                  np.asarray(e["base"][1], np.float32))}
+        for e in meta.get("submap_events", [])
+    ]
 
 
 # ---------------- Slam (VO + loop-closure state) ----------------
@@ -299,15 +320,20 @@ def save_slam(slam, path) -> None:
         "kf_R": [np.asarray(R) for R in slam.kf_R],
         "kf_t": [np.asarray(t) for t in slam.kf_t],
         "kf_signatures": [np.asarray(s) for s in slam.kf_signatures],
-        "kf_lm_idx": [np.asarray(a[0]) for a in slam.kf_assoc],
+        "kf_lm_X": [np.asarray(a[0]) for a in slam.kf_assoc],
         "kf_lm_ok": [np.asarray(a[1]) for a in slam.kf_assoc],
     }
     if slam.kf_store:
         ckptr.save(path / "slam_arrays", state)
         ckptr.wait_until_finished()
     meta = {
+        # Format history: v1 (unversioned) = SE(3)-only 5-tuple edges,
+        # index-based kf_lm_idx associations; v2 = Sim(3) 6-tuple edges +
+        # 3D-snapshot kf_lm_X associations + submap kf_offset.
+        "format_version": 2,
         "num_keyframes": len(slam.kf_store),
         "num_loop_closures": slam.num_loop_closures,
+        "kf_offset": getattr(slam, "_kf_offset", 0),
         "edges": [
             [int(i), int(j), np.asarray(R).tolist(), np.asarray(t).tolist(),
              float(s), float(w)]
@@ -327,6 +353,13 @@ def restore_slam(slam, path) -> None:
     path = Path(path).resolve()
     restore_vo(slam.vo, path / "vo")
     meta = json.loads((path / "slam_meta.json").read_text())
+    version = meta.get("format_version", 1)
+    if version != 2:
+        raise ValueError(
+            f"incompatible Slam checkpoint format {version} (expected 2): "
+            "pre-r5 checkpoints stored live-map landmark indices, which "
+            "cannot be migrated to 3D association snapshots — re-run the "
+            "sequence or restore with the matching framework version")
     n = meta["num_keyframes"]
     slam.kf_store, slam.kf_signatures = [], []
     slam.kf_R, slam.kf_t = [], []
@@ -338,7 +371,7 @@ def restore_slam(slam, path) -> None:
             "kf_R": [np.zeros((3, 3), np.float32)] * n,
             "kf_t": [np.zeros(3, np.float32)] * n,
             "kf_signatures": [np.zeros(256, np.float32)] * n,
-            "kf_lm_idx": [np.zeros(cap, np.int32)] * n,
+            "kf_lm_X": [np.zeros((cap, 3), np.float32)] * n,
             "kf_lm_ok": [np.zeros(cap, bool)] * n,
         }
         target = jax.tree.map(np.asarray, target)
@@ -354,8 +387,10 @@ def restore_slam(slam, path) -> None:
             slam.kf_R.append(np.asarray(state["kf_R"][k]))
             slam.kf_t.append(np.asarray(state["kf_t"][k]))
             slam.kf_signatures.append(np.asarray(state["kf_signatures"][k]))
-            slam.kf_assoc.append((np.asarray(state["kf_lm_idx"][k]),
+            slam.kf_assoc.append((np.asarray(state["kf_lm_X"][k]),
                                   np.asarray(state["kf_lm_ok"][k])))
+    if hasattr(slam, "_kf_offset"):
+        slam._kf_offset = meta.get("kf_offset", 0)
     slam.num_loop_closures = meta["num_loop_closures"]
     slam.edges = [
         (int(i), int(j), np.asarray(R, np.float32), np.asarray(t, np.float32),
