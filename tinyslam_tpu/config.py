@@ -164,7 +164,17 @@ class VOConfig(_JsonMixin):
                                        # global descriptor-only gate (which
                                        # starves creation in self-similar
                                        # scenes as the map grows)
-    reloc_max_frames: int = 12         # consecutive failed-relocalization
+    tri_local_band: float = 0.0        # structure-aware alias gate: accept
+                                       # a new landmark only if its depth is
+                                       # within this factor of the median
+                                       # depth of map landmarks projecting
+                                       # within 40 px of the feature (0 =
+                                       # off).  Targets period-aliased
+                                       # matches (which land at ~0.5x/2x the
+                                       # LOCAL depth) without the global
+                                       # band's blindness to real depth
+                                       # structure
+    reloc_max_frames: int = 8          # consecutive failed-relocalization
                                        # frames before DeviceVO abandons the
                                        # stale pose and re-seeds a FRESH
                                        # submap at the last known pose
@@ -203,6 +213,9 @@ class PoseGraphConfig(_JsonMixin):
     max_nodes: int = 256
     max_edges: int = 1024
     gn_iters: int = 20
+    loop_candidates: int = 2       # place-recognition candidates probed per
+                                   # keyframe (one fused probe dispatch; the
+                                   # probe shape is static in this count)
     loop_min_matches: int = 40     # descriptor matches for a loop candidate
     loop_min_gap: int = 30         # keyframe index gap before closing loops
     loop_min_inlier_ratio: float = 0.4   # PnP inliers / map matches: a true

@@ -18,7 +18,9 @@ keyframe that created it:  X' = S_anchor_new^-1 ( T_anchor_old X ).
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -219,6 +221,19 @@ class Slam:
         # Every evaluated loop candidate, for offline gate tuning
         # (tools/error_budget.py measures precision/recall from this).
         self.loop_log: list[dict] = []
+        # Wall-clock budget by stage (seconds), for the eval artifact:
+        # where full-SLAM time goes (track dispatch / flush / kf ingest /
+        # loop probe / graph solve).
+        self.timings: dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def _timed(self, key: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.timings[key] = (self.timings.get(key, 0.0)
+                                 + time.perf_counter() - t0)
         self._worker = None
         if async_backend:
             # Supervised worker (utils/faults.Watchdog): a crashed or hung
@@ -258,12 +273,13 @@ class Slam:
         # Freeze this keyframe's feature->landmark 3D snapshot (guided by
         # its own pose against the map as it exists NOW, i.e. at creation)
         # and its signature — one fused dispatch, one packed readback.
-        X, ok, sig = _kf_ingest(
-            self.camera, feats, self.vo.map,
-            jnp.asarray(self.kf_R[-1]), jnp.asarray(self.kf_t[-1]),
-            max_distance=self.cfg.matcher.max_distance,
-            ratio=self.cfg.matcher.ratio)
-        X, ok, sig = jax.device_get((X, ok, sig))
+        with self._timed("kf_ingest"):
+            X, ok, sig = _kf_ingest(
+                self.camera, feats, self.vo.map,
+                jnp.asarray(self.kf_R[-1]), jnp.asarray(self.kf_t[-1]),
+                max_distance=self.cfg.matcher.max_distance,
+                ratio=self.cfg.matcher.ratio)
+            X, ok, sig = jax.device_get((X, ok, sig))
         self.kf_assoc.append((X, ok))
         self.kf_signatures.append(sig)
         if kf_id > 0:
@@ -283,11 +299,16 @@ class Slam:
         old_ids = np.arange(0, kf_id - pg.loop_min_gap + 1)
         if len(old_ids) == 0:
             return
-        sims = np.array([sig @ self.kf_signatures[i] for i in old_ids])
-        n_cand = min(2, len(old_ids))
+        # Top-C place recognition as ONE (N_old, 256) x (256,) matmul over
+        # the stacked signature matrix (r4 weak #7: a per-keyframe Python
+        # loop of dots; the matrix form costs the same at N~100 and keeps
+        # the search a single BLAS/MXU call at multi-sequence scale).
+        sims = np.stack(self.kf_signatures[:len(old_ids)]) @ sig
+        C = max(2, pg.loop_candidates)
+        n_cand = min(C, len(old_ids))
         cand = old_ids[np.argsort(-sims)[:n_cand]].astype(np.int32)
-        if n_cand < 2:
-            cand = np.concatenate([cand, cand[:1]])   # static probe shape
+        if n_cand < C:                  # static probe shape: pad by repeat
+            cand = np.concatenate([cand, np.repeat(cand[:1], C - n_cand)])
         cur = self.kf_store[kf_id]
         old_stack = jax.tree.map(
             lambda *xs: jnp.stack(xs),
@@ -297,19 +318,20 @@ class Slam:
         old_ok = jnp.asarray(np.stack(
             [self.kf_assoc[int(c)][1] for c in cand]))
         # ONE dispatch for both candidates; ONE packed readback.
-        probe = _loop_probe(
-            self.camera, cur, old_stack, jnp.asarray(cand),
-            old_lm_X, old_ok,
-            self.vo.map, jnp.int32(self._anchor_offset()),
-            jnp.asarray(self.kf_R[kf_id]), jnp.asarray(self.kf_t[kf_id]),
-            jnp.int32(kf_id),
-            max_distance=self.cfg.matcher.max_distance,
-            ratio=self.cfg.matcher.ratio,
-            num_hypotheses=self.cfg.vo.reloc_hypotheses,
-            pnp_iters=self.cfg.vo.pnp_iters,
-            inlier_px=self.cfg.vo.pnp_inlier_px,
-        )
-        probe = jax.tree.map(np.asarray, probe)
+        with self._timed("loop_probe"):
+            probe = _loop_probe(
+                self.camera, cur, old_stack, jnp.asarray(cand),
+                old_lm_X, old_ok,
+                self.vo.map, jnp.int32(self._anchor_offset()),
+                jnp.asarray(self.kf_R[kf_id]), jnp.asarray(self.kf_t[kf_id]),
+                jnp.int32(kf_id),
+                max_distance=self.cfg.matcher.max_distance,
+                ratio=self.cfg.matcher.ratio,
+                num_hypotheses=self.cfg.vo.reloc_hypotheses,
+                pnp_iters=self.cfg.vo.pnp_iters,
+                inlier_px=self.cfg.vo.pnp_inlier_px,
+            )
+            probe = jax.tree.map(np.asarray, probe)
         seen = set()
         for c in range(len(cand)):
             old = int(cand[c])
@@ -385,7 +407,8 @@ class Slam:
             # one, so superseding a not-yet-started solve loses nothing.
             self._worker.submit(lambda: (snap, self._solve_graph(snap)))
         else:
-            self._apply_graph_result(snap, self._solve_graph(snap))
+            with self._timed("graph_solve"):
+                self._apply_graph_result(snap, self._solve_graph(snap))
 
     def _solve_graph(self, snap):
         """Device compute only — safe on the worker thread.  Returns the
@@ -558,7 +581,8 @@ class Slam:
         return st
 
     def process_frame(self, image):
-        st = self.vo.process(image)
+        with self._timed("track"):
+            st = self.vo.process(image)
         # Keep Slam's per-KF pose log in sync with BA-refined window poses.
         self._sync_new_keyframes()
         self._refresh_window_poses()
@@ -651,7 +675,8 @@ class DeviceSlam(Slam):
         vo = self.vo
         was_init = vo.state is not None
         pending_before = len(vo._pending)
-        vo.process(image)
+        with self._timed("track"):
+            vo.process(image)
         if vo.state is not None and not was_init:
             self._sync_bootstrap()
         elif vo.state is not None and len(vo._pending) > pending_before:
@@ -687,7 +712,8 @@ class DeviceSlam(Slam):
 
     def _sync_chunk(self):
         vo = self.vo
-        vo.flush()                      # materialize pending summaries
+        with self._timed("flush"):
+            vo.flush()                  # materialize pending summaries
         state = vo.state
         if state is None:
             return

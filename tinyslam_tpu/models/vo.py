@@ -115,6 +115,7 @@ def _triangulate_and_insert(
     band_lo: float = 0.25,
     band_hi: float = 4.0,
     dup_radius_px: float = 48.0,
+    local_band: float = 0.0,
 ):
     """Triangulate descriptor-matched (a, b) feature pairs and insert the
     accepted new landmarks into free map slots.
@@ -209,6 +210,20 @@ def _triangulate_and_insert(
     # dup_radius_px = 0 falls back to the global descriptor-only gate.
     twin = jnp.where(dup_radius_px > 0, similar & near, similar)
     accept &= ~jnp.any(twin, axis=1)
+
+    # Structure-aware alias gate (cfg.vo.tri_local_band): compare the
+    # candidate's depth against the median depth of map landmarks
+    # projecting within 40 px of it — a period-aliased match triangulates
+    # at ~0.5x/2x the LOCAL scene depth and fails this even where the
+    # global band (blind to depth structure) passes it.
+    neigh = (pdist2 < 40.0 ** 2) & in_view[None, :]
+    z_local = jnp.nanmedian(
+        jnp.where(neigh, z_map[None, :], jnp.nan), axis=1)       # (N,)
+    n_neigh = jnp.sum(neigh, axis=1)
+    lb = jnp.maximum(local_band, 1.0)
+    local_ok = (za > z_local / lb) & (za < z_local * lb)
+    use_local = (local_band > 1.0) & (n_neigh >= 5) & jnp.isfinite(z_local)
+    accept &= jnp.where(use_local, local_ok, True)
 
     # Rank candidates: accepted first (by feature score), take max_new.
     rank_key = jnp.where(accept, feats_a.score, -1.0)
@@ -534,6 +549,7 @@ class VisualOdometry:
                 band_lo=self.cfg.vo.tri_band_lo,
                 band_hi=self.cfg.vo.tri_band_hi,
                 dup_radius_px=self.cfg.vo.dup_radius_px,
+                local_band=self.cfg.vo.tri_local_band,
             )
             n_new += int(n_ins)
             # Re-record the partner's observations so the landmarks just

@@ -288,6 +288,7 @@ def _insert_keyframe(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
             band_lo=cfg.vo.tri_band_lo,
             band_hi=cfg.vo.tri_band_hi,
             dup_radius_px=cfg.vo.dup_radius_px,
+            local_band=cfg.vo.tri_local_band,
         )
         state = state.replace(map=new_map)
         # Second-view registration for the just-triangulated landmarks.
