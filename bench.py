@@ -49,8 +49,31 @@ def _render_room_sequence(n_frames: int, width: int = 640, height: int = 480):
     return cam, frames
 
 
+def _render_eval_grade_sequence(n_frames: int, width: int = 640,
+                                height: int = 480):
+    """Eval-grade frames: real fr1 intrinsics + radtan lens distortion,
+    handheld 6-DoF motion, vignetting, auto-exposure hunting, sensor noise,
+    8-bit quantization — the tools/eval_ate.py renderer (VERDICT r4 weak #1:
+    a tracked-fps claim should survive eval-grade rendering).  Frames are
+    undistorted through the production Undistorter, as the TUM loader does."""
+    from tinyslam_tpu.data.synthetic import (
+        TexturedRoom, handheld_trajectory, render_sequence,
+    )
+    from tinyslam_tpu.data.tum import FR1_DIST, FR1_INTRINSICS
+    from tinyslam_tpu.data.undistort import Undistorter
+    from tinyslam_tpu.geometry.camera import PinholeCamera
+
+    rng = np.random.default_rng(101)
+    room = TexturedRoom(rng, tex_res=128, octaves=3)
+    cam = PinholeCamera.create(**FR1_INTRINSICS)
+    poses = handheld_trajectory(rng, n_frames)
+    frames = render_sequence(rng, poses, cam, width, height, dist=FR1_DIST)
+    und = Undistorter(FR1_INTRINSICS, FR1_DIST, height=height, width=width)
+    return cam, [und(f) for f in frames]
+
+
 def bench_tracked(chunk: int = 32, chunks_timed: int = 4,
-                  rounds: int = 3) -> dict:
+                  rounds: int = 3, eval_grade: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -59,8 +82,9 @@ def bench_tracked(chunk: int = 32, chunks_timed: int = 4,
 
     cfg = SlamConfig()
     n_total = 14 + chunk * (chunks_timed + 1)
-    cam, frames = _render_room_sequence(
-        n_total, cfg.frontend.width, cfg.frontend.height)
+    render = (_render_eval_grade_sequence if eval_grade
+              else _render_room_sequence)
+    cam, frames = render(n_total, cfg.frontend.width, cfg.frontend.height)
 
     # Bootstrap on the host path (two-view init), then lift to VOState.
     vo = DeviceVO(cfg, cam, chunk=chunk)
@@ -159,6 +183,7 @@ def main():
 
     enable_compilation_cache()
     tr = bench_tracked()
+    ev = bench_tracked(eval_grade=True)
     fe = bench_frontend()
     fps = tr["tracked_fps"]
     line = {
@@ -167,6 +192,10 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / 200.0, 3),
         "tracked_frac": round(tr["tracked_frac"], 3),
+        # Same tracker on eval-grade rendering (distortion + photometric
+        # effects + undistortion resampling): the honest-conditions row.
+        "eval_grade_fps": round(ev["tracked_fps"], 1),
+        "eval_grade_tracked_frac": round(ev["tracked_frac"], 3),
         "frontend_fps": round(fe["pallas_fps"], 1),
     }
     if "xla_fps" in fe:

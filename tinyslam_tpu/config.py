@@ -216,6 +216,11 @@ class PoseGraphConfig(_JsonMixin):
     loop_candidates: int = 2       # place-recognition candidates probed per
                                    # keyframe (one fused probe dispatch; the
                                    # probe shape is static in this count)
+    loop_cooldown: int = 5         # keyframes to skip probing after an
+                                   # accepted closure: back-to-back accepts
+                                   # at a revisit re-measure the same
+                                   # constraint and re-solve the graph per
+                                   # keyframe for no information gain
     loop_min_matches: int = 40     # descriptor matches for a loop candidate
     loop_min_gap: int = 30         # keyframe index gap before closing loops
     loop_min_inlier_ratio: float = 0.4   # PnP inliers / map matches: a true

@@ -225,15 +225,6 @@ class Slam:
         # where full-SLAM time goes (track dispatch / flush / kf ingest /
         # loop probe / graph solve).
         self.timings: dict[str, float] = {}
-
-    @contextlib.contextmanager
-    def _timed(self, key: str):
-        t0 = time.perf_counter()
-        try:
-            yield
-        finally:
-            self.timings[key] = (self.timings.get(key, 0.0)
-                                 + time.perf_counter() - t0)
         self._worker = None
         if async_backend:
             # Supervised worker (utils/faults.Watchdog): a crashed or hung
@@ -243,6 +234,15 @@ class Slam:
             from tinyslam_tpu.utils.faults import Watchdog
 
             self._worker = Watchdog(solve_timeout_s=solve_timeout_s)
+
+    @contextlib.contextmanager
+    def _timed(self, key: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.timings[key] = (self.timings.get(key, 0.0)
+                                 + time.perf_counter() - t0)
 
     # ------------- keyframe bookkeeping -------------
     def _sync_new_keyframes(self):
@@ -294,6 +294,8 @@ class Slam:
     def _detect_loop(self, kf_id: int):
         pg = self.cfg.pose_graph
         if kf_id < pg.loop_min_gap:
+            return
+        if kf_id < getattr(self, "_loop_cooldown_until", 0):
             return
         sig = self.kf_signatures[kf_id]
         old_ids = np.arange(0, kf_id - pg.loop_min_gap + 1)
@@ -394,6 +396,7 @@ class Slam:
             self.edges.append((int(old), kf_id, np.asarray(Re),
                                np.asarray(te), float(se), weight))
             self.num_loop_closures += 1
+            self._loop_cooldown_until = kf_id + 1 + pg.loop_cooldown
             self._optimize_graph()
             return
 
@@ -617,13 +620,49 @@ class Slam:
         self.finalize()
         return out
 
+    def corrected_trajectory(self) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Dense trajectory with keyframe corrections propagated.
+
+        The online per-frame trajectory is recorded BEFORE later window-BA
+        refinement and pose-graph/loop corrections; those only update the
+        keyframe tables (kf_R/kf_t).  Here every frame rides the correction
+        of its most recent keyframe k:  T_f' = (T_f o T_k_raw^-1) o T_k_new
+        — the standard dense-trajectory update after pose-graph optimization
+        (without it an accepted loop closure cannot change the evaluated
+        ATE at all, which is exactly what EVAL_r04 showed)."""
+        traj = self.vo.trajectory
+        stats = self.vo.stats
+        kf_frames = [i for i, s in enumerate(stats) if s.is_keyframe]
+        n = min(len(kf_frames), len(self.kf_R))
+        out = []
+        k = -1                     # latest keyframe with frame <= f
+        for f, (R, t) in enumerate(traj):
+            while k + 1 < n and kf_frames[k + 1] <= f:
+                k += 1
+            if k < 0:
+                out.append((np.asarray(R), np.asarray(t)))
+                continue
+            R_raw, t_raw = (np.asarray(a) for a in traj[kf_frames[k]])
+            R_f, t_f = np.asarray(R), np.asarray(t)
+            R_rel = R_f @ R_raw.T
+            t_rel = t_f - R_rel @ t_raw
+            R_new, t_new = self.kf_R[k], self.kf_t[k]
+            out.append((R_rel @ R_new, R_rel @ t_new + t_rel))
+        return out
+
     @property
     def positions(self) -> np.ndarray:
-        return self.vo.positions
+        out = [-R.T @ t for R, t in self.corrected_trajectory()]
+        return np.asarray(out)
 
     @property
     def trajectory(self):
-        return self.vo.trajectory
+        return self.corrected_trajectory()
+
+    @property
+    def raw_positions(self) -> np.ndarray:
+        """Online (uncorrected) trajectory positions, for ablation."""
+        return self.vo.positions
 
 
 class DeviceSlam(Slam):
@@ -732,9 +771,19 @@ class DeviceSlam(Slam):
         if total > len(self.kf_store):
             from tinyslam_tpu.models.vo_device import KF_RING
 
-            win_kf = np.asarray(state.win_kf_id)
-            win_valid = np.asarray(state.win_valid)
             for gid in range(len(self.kf_store), total):
+                # Re-read the device state EVERY iteration: a loop probe on
+                # the previous keyframe may have accepted a closure and run
+                # a synchronous graph solve, which REPLACES self.vo.state
+                # with Sim(3)-corrected poses + a rescaled map — appending
+                # the next keyframe from a stale pre-solve window snapshot
+                # pairs an uncorrected pose with the corrected map and
+                # every guided match against it comes back empty (measured:
+                # n_scale_new = 0 on exactly the probes following an
+                # accepted closure).
+                state = vo.state
+                win_kf = np.asarray(state.win_kf_id)
+                win_valid = np.asarray(state.win_valid)
                 local = gid - self._kf_offset
                 # Features always come from the device keyframe ring —
                 # immune to window rolling (VERDICT r3 weak #5); the pose

@@ -576,7 +576,11 @@ class DeviceVO:
             self._base = (np.asarray(R_last, np.float32).copy(),
                           np.asarray(t_last, np.float32).copy())
         self.state = None
-        self._host = VisualOdometry(self.cfg, self.camera)
+        # reset(), not a fresh instance: the host tracker's per-instance
+        # jitted callables (frontend extract, adaptive threshold) survive,
+        # so a reboot costs one two-view bootstrap, not a full re-trace of
+        # the host pipeline (~15 s each through the relay).
+        self._host.reset()
         self._lost_streak = 0
         self.num_reboots += 1
         self.submap_events.append(

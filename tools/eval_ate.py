@@ -137,11 +137,19 @@ def run_sequence(name: str, kind: str, root: Path, mode: str,
     vo = system.vo if mode == "slam" else system
     tracked = sum(1 for s in vo.stats if s.tracking)
     first = next((i for i, s in enumerate(vo.stats) if s.tracking), 0)
-    est = vo.positions
+    # SLAM mode evaluates the CORRECTED trajectory (keyframe BA + pose-graph
+    # corrections propagated to every frame); the raw online trajectory is
+    # kept as the ablation column so a loop closure's ATE delta is visible.
+    est = system.positions if mode == "slam" else vo.positions
+    traj = system.trajectory if mode == "slam" else vo.trajectory
     m = min(len(est), len(gt))
-    ate = ate_rmse(est[first:m], gt[first:m])
-    ate_sim3 = ate_rmse(est[first:m], gt[first:m], with_scale=True)
-    rpe_t, rpe_r = rpe(vo.trajectory[first:m],
+    ate = ate_rmse(est[first:m], gt[first:m])        # Sim(3)-aligned
+    ate_se3 = ate_rmse(est[first:m], gt[first:m], with_scale=False)
+    ate_raw = None
+    if mode == "slam":
+        raw = system.raw_positions
+        ate_raw = ate_rmse(raw[first:m], gt[first:m])
+    rpe_t, rpe_r = rpe(traj[first:m],
                        [(R, t) for _, R, t in seq.groundtruth][first:m])
     kf_total = (len(system.kf_store) if mode == "slam"
                 else vo.num_keyframes)
@@ -155,7 +163,8 @@ def run_sequence(name: str, kind: str, root: Path, mode: str,
         "keyframes": kf_total,
         "loop_closures": getattr(system, "num_loop_closures", 0),
         "ate_rmse_m": round(ate, 4),
-        "ate_sim3_m": round(ate_sim3, 4),
+        "ate_se3_m": round(ate_se3, 4),
+        "ate_raw_m": round(ate_raw, 4) if ate_raw is not None else None,
         "rpe_trans_m": round(rpe_t, 4),
         "rpe_rot_deg": round(rpe_r, 3),
         "fps": round(n / wall, 1),

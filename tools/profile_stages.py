@@ -75,6 +75,62 @@ def main():
 
     feats0 = fe(imgs[0])
 
+    # --- extract sub-stage breakdown (VERDICT r4 #7: which term owns the
+    # 1.6 ms — the fused Pallas score kernel is only ~0.25 ms of it) ---
+    if jax.default_backend() == "tpu":
+        from tinyslam_tpu.ops import select_topk
+        from tinyslam_tpu.ops.brief import brief_descriptors_binned
+        from tinyslam_tpu.ops.fast_pallas import fast_score_map_fused
+        from tinyslam_tpu.ops.image import downsample2x, gaussian_kernel
+
+        fc = cfg.frontend
+        taps = tuple(float(v) for v in gaussian_kernel(fc.blur_sigma))
+
+        def pyramid_fn(im):
+            levels = [im]
+            for _ in range(1, fc.num_levels):
+                levels.append(downsample2x(levels[-1]))
+            return levels
+
+        pyr_jit = jax.jit(pyramid_fn)
+        results["x_pyramid_ms"] = timeit(
+            pyr_jit, [(im,) for im in imgs]) * 1e3
+
+        def score_all(im):
+            outs = []
+            for lvl in pyramid_fn(im):
+                outs.append(fast_score_map_fused(
+                    lvl, state.threshold, fc.border, fc.streak_length,
+                    blur_taps=taps))
+            return outs
+
+        score_jit = jax.jit(score_all)
+        results["x_score_ms"] = timeit(
+            score_jit, [(im,) for im in imgs]) * 1e3
+
+        outs0 = jax.block_until_ready(score_jit(imgs[0]))
+
+        def topk_all(outs):
+            return [select_topk(o[1], o[0], o[2], o[3],
+                                fc.features_per_level) for o in outs]
+
+        topk_jit = jax.jit(topk_all)
+        outs_list = [jax.block_until_ready(score_jit(im)) for im in imgs[:6]]
+        results["x_topk_ms"] = timeit(
+            topk_jit, [(o,) for o in outs_list]) * 1e3
+
+        sels0 = jax.block_until_ready(topk_jit(outs0))
+
+        def brief_all(outs, sels):
+            return [
+                brief_descriptors_binned(
+                    o[4], s["xy"], s["angle"], s["valid"], bins=fc.brief_bins)
+                for o, s in zip(outs, sels)]
+
+        brief_jit = jax.jit(brief_all)
+        results["x_brief_ms"] = timeit(
+            brief_jit, [(o, sels0) for o in outs_list]) * 1e3
+
     match = jax.jit(lambda f, R, t: _match_to_map(
         f, state.map, cfg.matcher.max_distance, cfg.matcher.ratio,
         cam=cam, R=R, t=t))
