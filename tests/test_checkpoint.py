@@ -28,6 +28,7 @@ def sequence():
     return vo_sequence(rng, num_frames=24)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_continues_identically(tmp_path, sequence):
     cam, images, gt_poses, _ = sequence
     vo = VisualOdometry(_cfg(), cam)

@@ -71,6 +71,7 @@ def _mini_scene(n_frames: int):
     return vo_sequence(rng, num_frames=n_frames, width=320, height=240)
 
 
+@pytest.mark.slow
 def test_snapshot_crash_restore_resumes_tracking(tmp_path):
     """Kill the tracker mid-sequence; a fresh instance restored from the last
     periodic snapshot must re-localize against the restored map and keep
@@ -109,6 +110,7 @@ def test_snapshot_crash_restore_resumes_tracking(tmp_path):
     assert len(vo2.trajectory) == n_restored + (len(images) - crash_at)
 
 
+@pytest.mark.slow
 def test_slam_snapshot_roundtrip(tmp_path):
     """save_slam/restore_slam round-trips the loop-closure layer."""
     from tinyslam_tpu.config import SlamConfig

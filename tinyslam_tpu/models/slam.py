@@ -214,6 +214,7 @@ class Slam:
         self.kf_signatures: list[np.ndarray] = []
         self.kf_R: list[np.ndarray] = []         # running best pose per KF
         self.kf_t: list[np.ndarray] = []
+        self.kf_frame_of: dict[int, int] = {}    # kf id -> global frame
         # Sim(3) edges: (i, j, R, t, s, weight) measuring S_j o S_i^-1
         # (odometry edges carry s = 1).
         self.edges: list[tuple[int, int, np.ndarray, np.ndarray, float, float]] = []
@@ -253,6 +254,8 @@ class Slam:
             # own window slot (NOT a kf_feats fallback, which is the NEWEST
             # keyframe's features — wrong for mid-window ids).
             _, R, t = self.vo.kf_poses_log[kf_id]
+            if kf_id < len(self.vo.kf_frames_log):
+                self.kf_frame_of[kf_id] = self.vo.kf_frames_log[kf_id]
             slots = np.nonzero(
                 np.asarray(self.vo.win_valid)
                 & (np.asarray(self.vo.win_kf_id) == kf_id))[0]
@@ -631,18 +634,21 @@ class Slam:
         (without it an accepted loop closure cannot change the evaluated
         ATE at all, which is exactly what EVAL_r04 showed)."""
         traj = self.vo.trajectory
-        stats = self.vo.stats
-        kf_frames = [i for i, s in enumerate(stats) if s.is_keyframe]
-        n = min(len(kf_frames), len(self.kf_R))
+        # Exact kf -> frame map recorded at keyframe creation (an inferred
+        # map mis-attributes corrections across bootstrap re-seeds and
+        # submap reboots, which makes the "corrected" trajectory worse).
+        kf_at = sorted((f, k) for k, f in self.kf_frame_of.items()
+                       if k < len(self.kf_R) and f < len(traj))
         out = []
-        k = -1                     # latest keyframe with frame <= f
+        j = -1                     # index into kf_at of latest kf <= f
         for f, (R, t) in enumerate(traj):
-            while k + 1 < n and kf_frames[k + 1] <= f:
-                k += 1
-            if k < 0:
+            while j + 1 < len(kf_at) and kf_at[j + 1][0] <= f:
+                j += 1
+            if j < 0:
                 out.append((np.asarray(R), np.asarray(t)))
                 continue
-            R_raw, t_raw = (np.asarray(a) for a in traj[kf_frames[k]])
+            fk, k = kf_at[j]
+            R_raw, t_raw = (np.asarray(a) for a in traj[fk])
             R_f, t_f = np.asarray(R), np.asarray(t)
             R_rel = R_f @ R_raw.T
             t_rel = t_f - R_rel @ t_raw
@@ -735,17 +741,16 @@ class DeviceSlam(Slam):
         h = self.vo._host
         self._kf_offset = len(self.kf_store)
         first_new = self._kf_offset > 0
-        base = self._synced_stats
-        kf_stat_frames = [base + i for i, s in
-                          enumerate(self.vo.stats[base:]) if s.is_keyframe]
-        for j, (kf_id, R, t) in enumerate(h.kf_poses_log):
+        for kf_id, R, t in h.kf_poses_log:
             feats = h.kf0_feats if kf_id == 0 else h.kf_feats
             gid = self._kf_offset + kf_id
             self._append_keyframe(
                 gid, R, t, feats,
                 edge_weight=0.3 if (first_new and kf_id == 0) else 1.0)
-            if j < len(kf_stat_frames):
-                self._kf_frame[gid] = kf_stat_frames[j]
+            if kf_id < len(h.kf_frames_log):
+                frame = self.vo._host_frame0 + h.kf_frames_log[kf_id]
+                self._kf_frame[gid] = frame
+                self.kf_frame_of[gid] = frame
         self._synced_stats = len(self.vo.stats)
         self._refresh_window_poses()
 
@@ -764,6 +769,7 @@ class DeviceSlam(Slam):
         for i, s in enumerate(new_stats):
             if s.is_keyframe:
                 self._kf_frame[next_kf] = self._synced_stats + i
+                self.kf_frame_of[next_kf] = self._synced_stats + i
                 next_kf += 1
         self._synced_stats = len(vo.stats)
 

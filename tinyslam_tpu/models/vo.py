@@ -327,6 +327,7 @@ class VisualOdometry:
         self.kf_feats: Features | None = None   # latest keyframe features
         self.kf_pose = se3_identity()
         self.kf0_feats: Features | None = None  # bootstrap reference
+        self._kf0_frame = 0                     # frame kf0_feats came from
         self.num_keyframes = 0
         self.frame_idx = -1
         self.frames_since_kf = 0
@@ -337,6 +338,12 @@ class VisualOdometry:
         self.trajectory: list[tuple[np.ndarray, np.ndarray]] = []
         self.stats: list[VOStats] = []
         self.kf_poses_log: list[tuple[int, np.ndarray, np.ndarray]] = []
+        # Frame index (this tracker's local numbering) at which each
+        # keyframe was created — the dense-trajectory correction in
+        # models/slam.py needs an exact kf -> frame map (inferring it from
+        # is_keyframe stat flags mis-attributes corrections across
+        # bootstrap re-seeds and submap reboots).
+        self.kf_frames_log: list[int] = []
         # Force global relocalization on the next frame regardless of stats
         # history — set by checkpoint restore (the restored pose is stale by
         # however many frames elapsed after the snapshot, and stats are not
@@ -433,10 +440,17 @@ class VisualOdometry:
     def _try_bootstrap(self, feats: Features) -> bool:
         res = self.two_view.estimate(self.kf0_feats, feats,
                                      key=jax.random.PRNGKey(self.frame_idx))
-        n_matches = int(jnp.sum(res["match_valid"]))
+        # ONE packed readback for the whole attempt: each separate int()/
+        # np.asarray() below is its own device->host sync, and at ~25 ms
+        # per round trip through the relay the old ~6-readback sequence
+        # made every bootstrap-phase frame cost ~0.5 s — the dominant term
+        # of full-SLAM wall clock once submap reboots exist.
+        res = {k: v for k, v in jax.device_get(res).items() if k != "model"}
+        n_matches = int(np.sum(res["match_valid"]))
         if n_matches < 50:
             # Scene overlap with the reference keyframe is gone — re-seed.
             self.kf0_feats = feats
+            self._kf0_frame = self.frame_idx
             return False
         n_in = int(res["num_inliers"])
         if n_in < 60:
@@ -486,6 +500,8 @@ class VisualOdometry:
         self._record_kf_observations(s1, feats)
         self.kf_poses_log.append((0, np.asarray(R0), np.asarray(t0)))
         self.kf_poses_log.append((1, np.asarray(R_rel), np.asarray(t_rel)))
+        self.kf_frames_log.append(self._kf0_frame)
+        self.kf_frames_log.append(self.frame_idx)
         self.num_keyframes = 2
         self.R, self.t = R_rel, t_rel
         self.kf_feats = feats
@@ -560,6 +576,7 @@ class VisualOdometry:
         self.kf_feats = feats
         self.kf_pose = (self.R, self.t)
         self.kf_poses_log.append((kf_id, np.asarray(self.R), np.asarray(self.t)))
+        self.kf_frames_log.append(self.frame_idx)
         self._cull_landmarks(kf_id)
         self._local_ba()
         self.frames_since_kf = 0
@@ -584,6 +601,7 @@ class VisualOdometry:
         if not self.initialized:
             if self.kf0_feats is None:
                 self.kf0_feats = feats
+                self._kf0_frame = self.frame_idx
                 st.is_keyframe = True
             else:
                 if self._try_bootstrap(feats):

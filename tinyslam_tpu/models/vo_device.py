@@ -526,6 +526,7 @@ class DeviceVO:
         # state is always kept global (the base is folded in at lift time).
         self._base: tuple[np.ndarray, np.ndarray] = (
             np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        self._host_frame0 = 0       # global frame of host-local frame 0
         self._lost_streak = 0
         self.num_reboots = 0
         self.submap_events: list[dict] = []
@@ -581,6 +582,7 @@ class DeviceVO:
         # so a reboot costs one two-view bootstrap, not a full re-trace of
         # the host pipeline (~15 s each through the relay).
         self._host.reset()
+        self._host_frame0 = self._frame_idx + 1
         self._lost_streak = 0
         self.num_reboots += 1
         self.submap_events.append(
