@@ -75,10 +75,14 @@ class FrontendConfig(_JsonMixin):
     nms: bool = True               # 3x3 non-max suppression (reference has none)
     use_pallas: bool = True        # Pallas fused score kernel vs pure-XLA path
     interpolate_descriptors: bool = False  # nearest sampling, as reference brief.wgsl:57-60
-    brief_bins: int = 32           # orientation bins for the MXU-matmul BRIEF
+    brief_bins: int = 16           # orientation bins for the MXU-matmul BRIEF
                                    # (0 = continuous-angle gather path).  ORB
-                                   # itself quantizes to 12-degree bins; 32
-                                   # bins = 11.25 degrees.
+                                   # itself quantizes to 30-degree bins (12);
+                                   # 16 bins = 22.5 degrees, and the bin
+                                   # count scales the dominant BRIEF matmul
+                                   # (N, 1600) x (1600, bins*256) linearly —
+                                   # 32 -> 16 halves it (r5 extract-budget
+                                   # profile: BRIEF was 0.66 ms of 2.05 ms)
     adaptive_threshold: bool = True  # feedback controller on the FAST threshold
     target_fill: float = 0.75      # desired detected/capacity ratio
 
@@ -132,6 +136,12 @@ class VOConfig(_JsonMixin):
 
     max_map_points: int = 8192     # fixed-capacity landmark store
     pnp_iters: int = 8             # Gauss-Newton iterations for pose tracking
+    track_radius_px: float = 20.0  # guided-matching radius around the
+                                   # predicted projection during tracking;
+                                   # must cover the prediction error of one
+                                   # frame of unmodeled acceleration (fast
+                                   # MAV yaw blows past a tight radius and
+                                   # tracking starves before PnP even runs)
     pnp_inlier_px: float = 4.0     # reprojection inlier threshold (pixels)
     keyframe_min_inliers: int = 150    # below -> new keyframe.  Eager
                                        # cadence (ORB-SLAM-style): waiting
@@ -164,7 +174,7 @@ class VOConfig(_JsonMixin):
                                        # global descriptor-only gate (which
                                        # starves creation in self-similar
                                        # scenes as the map grows)
-    tri_local_band: float = 0.0        # structure-aware alias gate: accept
+    tri_local_band: float = 1.8        # structure-aware alias gate: accept
                                        # a new landmark only if its depth is
                                        # within this factor of the median
                                        # depth of map landmarks projecting
@@ -173,7 +183,10 @@ class VOConfig(_JsonMixin):
                                        # matches (which land at ~0.5x/2x the
                                        # LOCAL depth) without the global
                                        # band's blindness to real depth
-                                       # structure
+                                       # structure.  A/B (r5, fr1-like):
+                                       # 292/300 tracked, 0 reboots, drift
+                                       # 0.273/m vs 256-269 tracked with a
+                                       # reboot for global-band-only configs
     reloc_max_frames: int = 8          # consecutive failed-relocalization
                                        # frames before DeviceVO abandons the
                                        # stale pose and re-seeds a FRESH

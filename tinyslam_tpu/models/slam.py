@@ -720,7 +720,9 @@ class DeviceSlam(Slam):
         vo = self.vo
         was_init = vo.state is not None
         pending_before = len(vo._pending)
-        with self._timed("track"):
+        # Budget key distinguishes the (rare, expensive) host bootstrap
+        # phase from steady chunked tracking.
+        with self._timed("track" if was_init else "track_boot"):
             vo.process(image)
         if vo.state is not None and not was_init:
             self._sync_bootstrap()

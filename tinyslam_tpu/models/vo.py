@@ -377,9 +377,12 @@ class VisualOdometry:
     def _record_kf_observations(self, slot: int, feats: Features):
         """Match the keyframe's features to the map and store observations
         (reprojection-gated against the slot's current pose)."""
+        # Wider radius than tracking (see vo_device._record_kf_obs): keyframe
+        # re-observation re-anchors old landmarks into the BA window.
         idx, mvalid = _match_to_map(
             feats, self.map, self.cfg.matcher.max_distance, self.cfg.matcher.ratio,
             cam=self.camera, R=self.win_R[slot], t=self.win_t[slot],
+            radius_px=32.0,
         )
         self.win_obs, self.win_mask, gated = _record_obs(
             self.win_obs, self.win_mask, jnp.int32(slot), idx, feats.xy, mvalid,
@@ -582,7 +585,7 @@ class VisualOdometry:
         self.frames_since_kf = 0
         return int(n_new)
 
-    def _cull_landmarks(self, kf_id: int, max_age: int = 6, min_obs: int = 2):
+    def _cull_landmarks(self, kf_id: int, max_age: int = 10, min_obs: int = 2):
         """Invalidate landmarks that stayed single-observation for several
         keyframes — they only consume capacity and matcher ambiguity
         (reference roadmap item 'Cull unnecessary map points')."""
@@ -665,6 +668,7 @@ class VisualOdometry:
             idx, mvalid = _match_to_map(
                 feats, self.map, cfg.matcher.max_distance, cfg.matcher.ratio,
                 cam=self.camera, R=R_pred, t=t_pred,
+                radius_px=cfg.vo.track_radius_px,
             )
             out = _track_pnp(
                 self.camera, feats, self.map, idx, mvalid, R_pred, t_pred,

@@ -146,9 +146,13 @@ def _record_kf_obs(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
     """Device analog of VisualOdometry._record_kf_observations: match the
     keyframe's features to the map, gate by reprojection, store window
     observations, refresh descriptors / obs_count / last_seen."""
+    # Wider radius than frame-to-frame tracking: keyframe re-observation is
+    # what re-anchors OLD landmarks into the BA window (the longer an old
+    # landmark stays observed, the slower the monocular scale random-walks);
+    # the reprojection gate inside _record_obs keeps the alias risk bounded.
     idx, mvalid = _match_to_map(
         feats, state.map, cfg.matcher.max_distance, cfg.matcher.ratio,
-        cam=cam, R=state.win_R[slot], t=state.win_t[slot],
+        cam=cam, R=state.win_R[slot], t=state.win_t[slot], radius_px=32.0,
     )
     win_obs, win_mask, gated = _record_obs(
         state.win_obs, state.win_mask, slot.astype(jnp.int32), idx,
@@ -243,7 +247,7 @@ def _local_ba(cam: PinholeCamera, cfg: SlamConfig, state: VOState) -> VOState:
     )
 
 
-def _cull_landmarks(state: VOState, kf_id, max_age: int = 6,
+def _cull_landmarks(state: VOState, kf_id, max_age: int = 10,
                     min_obs: int = 2) -> VOState:
     age = kf_id - state.map.last_seen
     weak = (state.map.obs_count < min_obs) & (age > max_age)
@@ -335,7 +339,8 @@ def track_step(cam: PinholeCamera, cfg: SlamConfig, state: VOState,
     def track_branch(_):
         idx, mvalid = _match_to_map(
             feats, state.map, cfg.matcher.max_distance, cfg.matcher.ratio,
-            cam=cam, R=R_pred, t=t_pred)
+            cam=cam, R=R_pred, t=t_pred,
+            radius_px=cfg.vo.track_radius_px)
         out = _track_pnp(cam, feats, state.map, idx, mvalid, R_pred, t_pred,
                          iters=cfg.vo.pnp_iters,
                          inlier_px=cfg.vo.pnp_inlier_px)

@@ -30,6 +30,8 @@ VARIANTS = {
     "r4_like": {"tri_band_lo": 0.12, "tri_band_hi": 8.0,
                 "dup_radius_px": 0.0, "staged_reloc": False,
                 "reloc_max_frames": 0},
+    "local_band": {"tri_local_band": 1.8},
+    "local_band_tight": {"tri_local_band": 1.4},
 }
 
 
@@ -77,9 +79,14 @@ def main() -> int:
     m = min(len(est), len(gt))
     first = next((i for i, s in enumerate(vo.stats) if s.tracking), 0)
     e, g = est[first:m], gt[first:m]
-    ws = _windowed_scale(e, g)
+    # Within-submap drift: reboots re-normalize scale by design.
+    bounds = sorted({first, m} | {
+        ev["frame"] for ev in vo.submap_events if first < ev["frame"] < m})
+    seg = max(zip(bounds[:-1], bounds[1:]),
+              key=lambda ab: ab[1] - ab[0], default=(first, m))
+    ws = _windowed_scale(est[seg[0]:seg[1]], gt[seg[0]:seg[1]])
     scales = np.array([w["scale"] for w in ws]) if ws else np.ones(1)
-    dist = _dist_travelled(g)
+    dist = _dist_travelled(gt[seg[0]:seg[1]])
     out = {
         "variant": args.variant,
         "backend": jax.default_backend(),

@@ -26,13 +26,20 @@ def run(seq_dir: Path, variant: str, frames: int) -> dict:
     import jax.numpy as jnp
 
     from tinyslam_tpu.config import SlamConfig
-    from tinyslam_tpu.data.tum import FR1_INTRINSICS, TumSequence
     from tinyslam_tpu.geometry.camera import PinholeCamera
     from tinyslam_tpu.models import DeviceVO
     from tinyslam_tpu.utils.evaluation import ate_rmse
 
-    seq = TumSequence.open(seq_dir)
-    cam = PinholeCamera.create(**FR1_INTRINSICS)
+    if (seq_dir / "mav0").exists():
+        from tinyslam_tpu.data.euroc import EUROC_CAM0, EurocSequence
+
+        seq = EurocSequence.open(seq_dir)
+        cam = PinholeCamera.create(**EUROC_CAM0)
+    else:
+        from tinyslam_tpu.data.tum import FR1_INTRINSICS, TumSequence
+
+        seq = TumSequence.open(seq_dir)
+        cam = PinholeCamera.create(**FR1_INTRINSICS)
     gt = seq.gt_positions()
 
     cfg = SlamConfig()
@@ -43,6 +50,14 @@ def run(seq_dir: Path, variant: str, frames: int) -> dict:
         import tinyslam_tpu.ops.hamming as H
 
         H._streaming_eligible = lambda *a, **k: False
+    elif variant.startswith("vo:"):
+        # e.g. --variant vo:track_radius_px=32,reloc_max_frames=6
+        kw = {}
+        for item in variant[3:].split(","):
+            k, v = item.split("=")
+            f = type(getattr(SlamConfig().vo, k))
+            kw[k] = f(v)
+        cfg = cfg.replace(vo=cfg.vo.replace(**kw))
     elif variant == "baseline":
         pass
     else:

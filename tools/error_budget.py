@@ -107,12 +107,22 @@ def budget_for_sequence(name: str, kind: str, root: Path) -> dict:
         m = min(len(est), len(gt))
         first = next((i for i, s in enumerate(vo.stats) if s.tracking), 0)
         e, g = est[first:m], gt[first:m]
-        wscale = _windowed_scale(e, g)
+        # Scale drift is a WITHIN-submap quantity: each reboot re-normalizes
+        # the monocular scale by design, so the profile is measured on the
+        # longest contiguous submap segment.
+        bounds = sorted({first, m} | {
+            ev["frame"] for ev in getattr(vo, "submap_events", [])
+            if first < ev["frame"] < m})
+        seg = max(zip(bounds[:-1], bounds[1:]),
+                  key=lambda ab: ab[1] - ab[0], default=(first, m))
+        wscale = _windowed_scale(est[seg[0]:seg[1]], gt[seg[0]:seg[1]])
         scales = np.array([w["scale"] for w in wscale]) if wscale else np.ones(1)
-        dist = _dist_travelled(g)
+        dist = _dist_travelled(gt[seg[0]:seg[1]])
         report[f"vo_{tag}"] = {
             "tracked": sum(1 for s in vo.stats if s.tracking),
             "frames": m,
+            "reboots": getattr(vo, "num_reboots", 0),
+            "drift_segment": [int(seg[0]), int(seg[1])],
             "ate_sim3_m": round(ate_rmse(e, g, with_scale=True), 4),
             "ate_se3_m": round(ate_rmse(e, g, with_scale=False), 4),
             "dist_travelled_m": round(dist, 2),
@@ -146,13 +156,13 @@ def budget_for_sequence(name: str, kind: str, root: Path) -> dict:
     first = next((i for i, s in enumerate(slam.vo.stats) if s.tracking), 0)
     e, g = est[first:m], gt[first:m]
 
-    # keyframe -> frame mapping from the per-frame stats
-    kf_frames = [i for i, s in enumerate(slam.vo.stats) if s.is_keyframe]
+    # Exact keyframe -> frame mapping recorded at creation (r5: the
+    # stats-flag inference mis-aligns across submap reboots).
     gt_all = gt[:len(slam.vo.stats)]
 
     def is_true_revisit(rec) -> bool:
-        fi = kf_frames[rec["kf"]] if rec["kf"] < len(kf_frames) else None
-        fj = kf_frames[rec["old"]] if rec["old"] < len(kf_frames) else None
+        fi = slam.kf_frame_of.get(rec["kf"])
+        fj = slam.kf_frame_of.get(rec["old"])
         if fi is None or fj is None or fi >= len(gt_all) or fj >= len(gt_all):
             return False
         return bool(np.linalg.norm(gt_all[fi] - gt_all[fj]) < 1.0)
@@ -179,11 +189,17 @@ def budget_for_sequence(name: str, kind: str, root: Path) -> dict:
         "accepted_scales": [round(s, 4) for s in scale_errs],
         "log": slam.loop_log[-50:],
     }
+    raw = slam.raw_positions
     report["slam"] = {
         "loop_closures": slam.num_loop_closures,
         "keyframes": len(slam.kf_R),
+        "reboots": getattr(slam.vo, "num_reboots", 0),
         "ate_sim3_m": round(ate_rmse(e, g, with_scale=True), 4),
         "ate_se3_m": round(ate_rmse(e, g, with_scale=False), 4),
+        # Uncorrected online trajectory: the delta to ate_sim3_m is what
+        # keyframe BA refinement + loop corrections bought.
+        "ate_raw_sim3_m": round(
+            ate_rmse(raw[first:m], g, with_scale=True), 4),
     }
     return report
 

@@ -34,7 +34,13 @@ def build_fr1_desk_like(root: Path, num_frames: int) -> None:
     from tinyslam_tpu.geometry.camera import PinholeCamera
 
     rng = np.random.default_rng(101)
-    room = TexturedRoom(rng, tex_res=256, octaves=4)
+    # Interior clutter (r5): fr1_desk is a CLUTTERED desk scene — a bare
+    # box room is unrealistically planar near walls and unrealistically
+    # self-similar in appearance (uniform random-grid texture defeats any
+    # descriptor; real scenes carry distinctive local structure).  Clutter
+    # raises geometric difficulty (occlusion, depth discontinuities) while
+    # restoring realistic appearance distinctiveness.
+    room = TexturedRoom(rng, tex_res=256, octaves=4, clutter=14)
     cam = PinholeCamera.create(**FR1_INTRINSICS)
     poses = handheld_trajectory(rng, num_frames)
     frames = render_sequence(rng, poses, cam, 640, 480, room, dist=FR1_DIST)
@@ -52,7 +58,7 @@ def build_fr1_loop_like(root: Path, num_frames: int) -> None:
     from tinyslam_tpu.geometry.camera import PinholeCamera
 
     rng = np.random.default_rng(303)
-    room = TexturedRoom(rng, tex_res=256, octaves=4)
+    room = TexturedRoom(rng, tex_res=256, octaves=4, clutter=10)
     cam = PinholeCamera.create(**FR1_INTRINSICS)
     step = (2.0 * np.pi + 0.35) / num_frames
     poses = handheld_trajectory(rng, num_frames, step=step,
@@ -69,7 +75,8 @@ def build_mh01_like(root: Path, num_frames: int) -> None:
     from tinyslam_tpu.geometry.camera import PinholeCamera
 
     rng = np.random.default_rng(202)
-    room = TexturedRoom(rng, half_size=(8.0, 5.0, 8.0), tex_res=256, octaves=4)
+    room = TexturedRoom(rng, half_size=(8.0, 5.0, 8.0), tex_res=256,
+                        octaves=4, clutter=16)
     cam = PinholeCamera.create(**EUROC_CAM0)
     poses = mav_trajectory(rng, num_frames)
     frames = render_sequence(rng, poses, cam, 752, 480, room, dist=EUROC_DIST)
@@ -237,8 +244,9 @@ def main() -> int:
     artifact = {
         "target_ate_m": 0.05,
         "note": ("rendered sequences with real-dataset statistics "
-                 "(intrinsics+distortion+photometrics); no network access "
-                 "to the actual TUM/EuRoC files in this environment"),
+                 "(intrinsics+distortion+photometrics+interior clutter); "
+                 "no network access to the actual TUM/EuRoC files in this "
+                 "environment"),
         "results": results,
     }
     Path(args.out).write_text(json.dumps(artifact, indent=2))
