@@ -64,10 +64,11 @@ def _render_eval_grade_sequence(n_frames: int, width: int = 640,
     from tinyslam_tpu.geometry.camera import PinholeCamera
 
     rng = np.random.default_rng(101)
-    room = TexturedRoom(rng, tex_res=128, octaves=3)
+    room = TexturedRoom(rng, tex_res=128, octaves=3, clutter=8)
     cam = PinholeCamera.create(**FR1_INTRINSICS)
     poses = handheld_trajectory(rng, n_frames)
-    frames = render_sequence(rng, poses, cam, width, height, dist=FR1_DIST)
+    frames = render_sequence(rng, poses, cam, width, height, room,
+                             dist=FR1_DIST)
     und = Undistorter(FR1_INTRINSICS, FR1_DIST, height=height, width=width)
     return cam, [und(f) for f in frames]
 

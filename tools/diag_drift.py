@@ -73,7 +73,7 @@ def main() -> int:
 
     vo = DeviceVO(cfg, cam)
     for ts, img in seq.frames():
-        vo.process(jnp.asarray(img))
+        vo.process(img)
     vo.flush()
     est = vo.positions
     m = min(len(est), len(gt))

@@ -67,7 +67,7 @@ def run(seq_dir: Path, variant: str, frames: int) -> dict:
     t0 = time.time()
     n = 0
     for ts, img in seq.frames():
-        vo.process(jnp.asarray(img))
+        vo.process(img)
         n += 1
         if n >= frames:
             break

@@ -68,7 +68,7 @@ def _run_system(seq, cam, cfg, mode: str, tracker: str = "device"):
         system = DeviceVO(cfg, cam)
     for ts, img in seq.frames():
         (system.process_frame if mode == "slam" else system.process)(
-            jnp.asarray(img))
+            img)
     if hasattr(system, "finalize"):
         system.finalize()
     else:

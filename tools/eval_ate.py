@@ -40,7 +40,7 @@ def build_fr1_desk_like(root: Path, num_frames: int) -> None:
     # descriptor; real scenes carry distinctive local structure).  Clutter
     # raises geometric difficulty (occlusion, depth discontinuities) while
     # restoring realistic appearance distinctiveness.
-    room = TexturedRoom(rng, tex_res=256, octaves=4, clutter=14)
+    room = TexturedRoom(rng, tex_res=256, octaves=4, clutter=8)
     cam = PinholeCamera.create(**FR1_INTRINSICS)
     poses = handheld_trajectory(rng, num_frames)
     frames = render_sequence(rng, poses, cam, 640, 480, room, dist=FR1_DIST)
@@ -126,7 +126,7 @@ def run_sequence(name: str, kind: str, root: Path, mode: str,
     n = 0
     stamps = []                         # per-frame completion timestamps
     for ts, img in seq.frames():
-        im = jnp.asarray(img)
+        im = img   # host numpy: DeviceVO batches the upload per chunk
         (system.process_frame if mode == "slam" else system.process)(im)
         n += 1
         stamps.append(time.time())
