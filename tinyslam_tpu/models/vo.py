@@ -607,13 +607,14 @@ class VisualOdometry:
                 self._kf0_frame = self.frame_idx
                 st.is_keyframe = True
             else:
-                # Attempt throttle: the first frames after the seed have
+                # Attempt throttle: the first two frames after the seed have
                 # near-zero baseline and always fail the parallax gate; an
                 # attempt costs a two-view RANSAC + readback (~0.3 s through
-                # the relay), so skip the hopeless ones and then try every
-                # other frame (parallax accrues over several frames anyway).
+                # the relay), so skip only those (a sparser schedule measurably
+                # perturbs which frame bootstrap succeeds on and the whole
+                # downstream trajectory with it).
                 age = self.frame_idx - self._kf0_frame
-                if (age >= 3 and age % 2 == 1) and self._try_bootstrap(feats):
+                if age >= 3 and self._try_bootstrap(feats):
                     st.tracking = True
                     st.is_keyframe = True
                     st.num_landmarks = int(jnp.sum(self.map.valid))

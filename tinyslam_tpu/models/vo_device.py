@@ -532,6 +532,7 @@ class DeviceVO:
         self._base: tuple[np.ndarray, np.ndarray] = (
             np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
         self._host_frame0 = 0       # global frame of host-local frame 0
+        self.host_frames = 0        # frames processed on the host path
         self._lost_streak = 0
         self.num_reboots = 0
         self.submap_events: list[dict] = []
@@ -641,6 +642,7 @@ class DeviceVO:
         device chunks (use flush() to force out a partial chunk)."""
         self._frame_idx += 1
         if self.state is None:
+            self.host_frames += 1
             st = self._host.process(image)
             R_l, t_l = self._host.trajectory[-1]
             R_b, t_b = self._base

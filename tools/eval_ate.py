@@ -167,6 +167,7 @@ def run_sequence(name: str, kind: str, root: Path, mode: str,
         "frames": n,
         "tracked": tracked,
         "reboots": getattr(vo, "num_reboots", 0),
+        "host_frames": getattr(vo, "host_frames", None),
         "keyframes": kf_total,
         "loop_closures": getattr(system, "num_loop_closures", 0),
         "ate_rmse_m": round(ate, 4),
